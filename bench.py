@@ -1,0 +1,102 @@
+"""Benchmark: rays/s (fwd+bwd) at 512 samples/ray on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: full-size Color-NeuS (SDF 8x256 PE6 + color 4x256 + relight
+4x256), hierarchical sampling 256 coarse + 256 importance in 4 rounds
+(512 samples/ray — the BASELINE.json metric shape), loss = rgb + eikonal
++ mask + relight, full backward through the second-order eikonal path,
+per-leaf clip + Adam update. This is the real training step, not a
+stripped kernel.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). We use an
+estimated A100-PyTorch reference throughput of 2560 rays/s at 512
+samples/ray, derived from published NeuS-family training times (~0.1
+s/step at 1024 rays x 128 samples on A100 = 10240 rays/s, scaled x1/4 to
+512 samples). The >=5x north-star target corresponds to vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 2560.0  # estimated A100 PyTorch, 512 samples/ray
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from color_neus_tpu.models.configs import RendererConfig, ColorConfig
+    from color_neus_tpu.models.camera import CameraConfig
+    from color_neus_tpu.models import trainer as TR
+
+    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 2048))
+    iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
+
+    rcfg = RendererConfig(
+        kind="color_neus",
+        n_samples=256, n_importance=256, up_sample_steps=4,
+        color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
+    )
+    H = W = 256
+    n_cams = 8
+    cfg = TR.TrainerConfig(
+        n_rays=n_rays, include_mask=True, mask_rate=(0.5, 0.8),
+        iterations=100000, warm_up=5000,
+        camera=CameraConfig(H=H, W=W, n_cams=n_cams, pose_mode="6d"),
+        renderer=rcfg,
+    )
+
+    key = jax.random.PRNGKey(0)
+    state = TR.init_state(key, cfg, init_focal_np=np.asarray([1.2 * W, 1.2 * W]))
+
+    rng = np.random.RandomState(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_cams, 1, 1))
+    for i in range(n_cams):
+        z = rng.randn(3)
+        z /= np.linalg.norm(z)
+        poses[i, :3, 3] = -2.5 * z
+        # look-at rotation: camera z-axis toward origin
+        up = np.asarray([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9 else np.asarray([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        poses[i, :3, :3] = np.stack([x, y, z], axis=1)
+    scene = TR.make_scene(np.zeros(3), 1.0, poses)
+
+    images = jnp.asarray(rng.rand(n_cams, H, W, 3), jnp.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    blob = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2) < (H / 3) ** 2).astype(np.float32)
+    masks = jnp.asarray(np.tile(blob[None], (n_cams, 1, 1)))
+    img_ids = jnp.arange(n_cams)
+
+    step_fn = TR.make_train_step(cfg, donate=True)
+
+    # warmup / compile
+    k = jax.random.PRNGKey(1)
+    state, aux = step_fn(state, scene, images, masks, img_ids, k)
+    jax.block_until_ready(aux["loss"])
+
+    times = []
+    for i in range(iters):
+        k = jax.random.fold_in(k, i)
+        t0 = time.perf_counter()
+        state, aux = step_fn(state, scene, images, masks, img_ids, k)
+        jax.block_until_ready(aux["loss"])
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    rays_per_s = n_rays / dt
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwd_bwd_512spp",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

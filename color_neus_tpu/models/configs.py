@@ -1,0 +1,164 @@
+"""Static (hashable) model configs.
+
+These are the jit-static descriptions of the networks and renderer. They
+mirror the reference's YAML schema (config/Color_NeuS_dtu.yml:23-61) so a
+reference config maps 1:1; see color_neus_tpu/utils/config.py for the
+YAML loader.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SDFConfig:
+    """SDF MLP (reference fields.py:12-116)."""
+    d_in: int = 3
+    d_out: int = 257
+    d_hidden: int = 256
+    n_layers: int = 8
+    skip_in: tuple = (4,)
+    multires: int = 6
+    bias: float = 0.5
+    scale: float = 3.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    inside_outside: bool = False
+
+
+@dataclass(frozen=True)
+class ColorConfig:
+    """IDR rendering MLP (reference fields.py:119-188)."""
+    d_feature: int = 256
+    mode: str = "idr"  # idr | no_view_dir | no_normal
+    d_in: int = 9
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 4
+    weight_norm: bool = True
+    multires_view: int = 4
+    squeeze_out: bool = True
+
+
+@dataclass(frozen=True)
+class RelightConfig:
+    """View-dependent residual MLP (reference fields.py:289-368)."""
+    d_in: int = 6
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 4
+    y_in_layer: int = 3
+    multires_view: int = 4
+    include_grad: bool = True
+    inv_sigmoid: bool = True
+
+
+@dataclass(frozen=True)
+class VarianceConfig:
+    """Single learnable s (reference fields.py:277-286)."""
+    init_val: float = 0.3
+
+
+@dataclass(frozen=True)
+class NeRFConfig:
+    """NeRF++ background MLP (reference fields.py:192-274)."""
+    depth: int = 8
+    width: int = 256
+    d_in: int = 4
+    d_in_view: int = 3
+    multires: int = 10
+    multires_view: int = 4
+    skips: tuple = (4,)
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Renderer hyperparameters (reference NeuS.py:71-93)."""
+    kind: str = "color_neus"  # "neus" | "color_neus"
+    n_samples: int = 64
+    n_importance: int = 64
+    n_outside: int = 0
+    up_sample_steps: int = 4
+    perturb: float = 1.0
+    mc_block: int = 64  # grid-eval block size for mesh extraction
+    # fused Pallas SDF sweeps: auto | on | off | interpret (see ops/pallas)
+    fused_sdf: str = "auto"
+    sdf: SDFConfig = field(default_factory=SDFConfig)
+    color: ColorConfig = field(default_factory=ColorConfig)
+    relight: RelightConfig = field(default_factory=RelightConfig)
+    variance: VarianceConfig = field(default_factory=VarianceConfig)
+    nerf: NeRFConfig = field(default_factory=NeRFConfig)
+
+
+def _lower_get(d: dict, key: str, default):
+    """Fetch an UPPERCASE yaml key with a default."""
+    v = d.get(key, default)
+    if isinstance(v, list):
+        v = tuple(v)
+    return v
+
+
+def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
+    """Build a RendererConfig from a reference-schema dict (cfg.MODEL.RENDERER)."""
+    sdf = rcfg.get("SDF", {})
+    color = rcfg.get("COLOR", {})
+    relight = rcfg.get("RELIGHT", {})
+    dev = rcfg.get("DEVIATION", {})
+    nerf = rcfg.get("NERF", {})
+    kind = {"NeuS": "neus", "Color_NeuS": "color_neus"}.get(rcfg.get("TYPE", "NeuS"), rcfg.get("TYPE", "neus"))
+    if kind == "color_neus" and color.get("MODE", "idr") != "no_view_dir":
+        raise ValueError("Color_NeuS requires COLOR.MODE == 'no_view_dir' (reference Color_NeuS.py:14)")
+    return RendererConfig(
+        kind=kind,
+        n_samples=_lower_get(rcfg, "N_SAMPLES", 64),
+        n_importance=_lower_get(rcfg, "N_IMPORTANCE", 64),
+        n_outside=_lower_get(rcfg, "N_OUTSIDE", 0),
+        up_sample_steps=_lower_get(rcfg, "UP_SAMPLE_STEPS", 4),
+        perturb=_lower_get(rcfg, "PERTURB", 1.0),
+        mc_block=_lower_get(rcfg, "N", 64),
+        sdf=SDFConfig(
+            d_in=_lower_get(sdf, "D_IN", 3),
+            d_out=_lower_get(sdf, "D_OUT", 257),
+            d_hidden=_lower_get(sdf, "D_HIDDEN", 256),
+            n_layers=_lower_get(sdf, "N_LAYERS", 8),
+            skip_in=_lower_get(sdf, "SKIP_IN", (4,)),
+            multires=_lower_get(sdf, "MULTIRES", 6),
+            bias=_lower_get(sdf, "BIAS", 0.5),
+            scale=_lower_get(sdf, "SCALE", 3.0),
+            geometric_init=_lower_get(sdf, "GEOMETRIC_INIT", True),
+            weight_norm=_lower_get(sdf, "WEIGHT_NORM", True),
+            inside_outside=_lower_get(sdf, "INSIDE_OUTSIDE", False),
+        ),
+        color=ColorConfig(
+            d_feature=_lower_get(color, "D_FEATURE", 256),
+            mode=_lower_get(color, "MODE", "idr"),
+            d_in=_lower_get(color, "D_IN", 9),
+            d_out=_lower_get(color, "D_OUT", 3),
+            d_hidden=_lower_get(color, "D_HIDDEN", 256),
+            n_layers=_lower_get(color, "N_LAYERS", 4),
+            weight_norm=_lower_get(color, "WEIGHT_NORM", True),
+            multires_view=_lower_get(color, "MULTIRES_VIEW", 4),
+            squeeze_out=_lower_get(color, "SQUEEZE_OUT", True),
+        ),
+        relight=RelightConfig(
+            d_in=_lower_get(relight, "D_IN", 6),
+            d_out=_lower_get(relight, "D_OUT", 3),
+            d_hidden=_lower_get(relight, "D_HIDDEN", 256),
+            n_layers=_lower_get(relight, "N_LAYERS", 4),
+            y_in_layer=_lower_get(relight, "Y_IN_LAYER", 3),
+            multires_view=_lower_get(relight, "MULTIRES_VIEW", 4),
+            include_grad=_lower_get(relight, "INCLUDE_GRAD", True),
+            inv_sigmoid=_lower_get(relight, "INV_SIGMOID", True),
+        ),
+        variance=VarianceConfig(init_val=_lower_get(dev, "INIT_VAL", 0.3)),
+        nerf=NeRFConfig(
+            depth=_lower_get(nerf, "D", 8),
+            width=_lower_get(nerf, "W", 256),
+            d_in=_lower_get(nerf, "D_IN", 4),
+            d_in_view=_lower_get(nerf, "D_IN_VIEW", 3),
+            multires=_lower_get(nerf, "MULTIRES", 10),
+            multires_view=_lower_get(nerf, "MULTIRES_VIEW", 4),
+            skips=_lower_get(nerf, "SKIPS", (4,)),
+        ),
+    )

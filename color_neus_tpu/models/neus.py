@@ -1,0 +1,334 @@
+"""NeuS volume renderer — the numerical core, as pure jittable functions.
+
+Re-derivation of the reference renderer (lib/models/renderers/NeuS.py) in
+TPU-first form: every stage has static shapes (the 4 up-sample rounds are
+unrolled, 64 -> 64+16k samples), the no-grad hierarchy is cut from the
+autodiff graph with stop_gradient, and the per-sample MLP sweeps are plain
+batched GEMMs XLA tiles onto the MXU. The SDF evaluation used by the
+no-grad sweeps is pluggable (`sdf_fn`) so the fused Pallas kernel in
+color_neus_tpu/ops/pallas can be swapped in.
+
+Behavioral quirks preserved for parity (SURVEY §3.6):
+  * up-sampling uses fixed inv_s = 64 * 2^i, not the learned one
+    (NeuS.py:348-349)
+  * cos_anneal_ratio defaults to 0.0 — the trainer never schedules it
+    (NeuS_Trainer.py:124); at 0 iter_cos = -relu(-cos*0.5+0.5)
+  * alpha = clip((sig(prev*s)-sig(next*s)+1e-5)/(sig(prev*s)+1e-5), 0, 1)
+  * eikonal averaged over the |p|<1.2 relaxed sphere (NeuS.py:277-279)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from color_neus_tpu.models.configs import RendererConfig
+from color_neus_tpu.models import fields
+from color_neus_tpu.ops.rays import sample_pdf
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_renderer(key, rcfg: RendererConfig, dtype=jnp.float32) -> dict:
+    k_sdf, k_color, k_rel, k_nerf = jax.random.split(key, 4)
+    params = {
+        "sdf": fields.init_sdf(k_sdf, rcfg.sdf, dtype),
+        "color": fields.init_color(k_color, rcfg.color, dtype),
+        "variance": fields.init_variance(rcfg.variance, dtype),
+    }
+    if rcfg.kind == "color_neus":
+        params["relight"] = fields.init_relight(k_rel, rcfg.relight, dtype)
+    if rcfg.n_outside > 0:
+        params["nerf"] = fields.init_nerf(k_nerf, rcfg.nerf, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Shared compositing math
+# ---------------------------------------------------------------------------
+
+def exclusive_cumprod_weights(alpha: jnp.ndarray) -> jnp.ndarray:
+    """weights = alpha * prod_{j<i} (1 - alpha_j + 1e-7)  (NeuS.py:269-270)."""
+    trans = jnp.cumprod(1.0 - alpha + 1e-7, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    return alpha * trans
+
+
+def section_dists(z_vals: jnp.ndarray, sample_dist: float):
+    """Per-section lengths with the trailing sample_dist pad, and mids."""
+    d = z_vals[:, 1:] - z_vals[:, :-1]
+    dists = jnp.concatenate([d, jnp.full_like(d[:, :1], sample_dist)], axis=-1)
+    mid_z_vals = z_vals + dists * 0.5
+    return dists, mid_z_vals
+
+
+def neus_alpha(sdf, iter_cos, dists, inv_s):
+    """Section alpha from estimated prev/next SDF (NeuS.py:244-254). All [R, S]."""
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return alpha, prev_cdf
+
+
+def anneal_cos(true_cos, cos_anneal_ratio):
+    """The 'not dead at init' annealed cos (NeuS.py:241-242); always <= 0."""
+    return -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+             + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical sampling (no-grad)
+# ---------------------------------------------------------------------------
+
+def up_sample_z(rays_o, rays_d, z_vals, sdf, n_importance, inv_s):
+    """One SDF-sign-change-guided importance round (NeuS.py:136-181).
+
+    Estimates section alphas from a linear SDF model with slope
+    min(cos, prev_cos) clipped to <= 0 and restricted inside the unit
+    sphere, then inverse-CDF samples n_importance new z per ray.
+    """
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    prev_cos = jnp.concatenate([jnp.zeros_like(cos_val[:, :1]), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    weights = exclusive_cumprod_weights(alpha)
+    return sample_pdf(z_vals, weights, n_importance, det=True)
+
+
+def merge_z_vals(z_vals, new_z, sdf, new_sdf):
+    """Sorted merge of (z, sdf) with (new_z, new_sdf) along samples (NeuS.py:183-197)."""
+    z = jnp.concatenate([z_vals, new_z], axis=-1)
+    order = jnp.argsort(z, axis=-1)
+    z = jnp.take_along_axis(z, order, axis=-1)
+    if sdf is None:
+        return z, None
+    s = jnp.concatenate([sdf, new_sdf], axis=-1)
+    s = jnp.take_along_axis(s, order, axis=-1)
+    return z, s
+
+
+def hierarchical_z_vals(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
+                        key=None, perturb_overwrite: float = -1.0, sdf_fn=None):
+    """Coarse + SDF-guided importance z values, [R, n_samples+n_importance].
+
+    Entirely outside the autodiff graph: inputs are stop_gradient'ed on
+    entry (the torch.no_grad() analog, NeuS.py:343-355) so reverse-mode
+    never tries to linearize the sweeps — required for the fused Pallas
+    sdf_fn, which has no VJP rule, and cheaper for the XLA path too.
+    """
+    params = jax.lax.stop_gradient(params)
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
+    near = jax.lax.stop_gradient(near)
+    far = jax.lax.stop_gradient(far)
+    R = rays_o.shape[0]
+    n = rcfg.n_samples
+    if sdf_fn is None:
+        sdf_fn = lambda pts: fields.sdf_value(params["sdf"], rcfg.sdf, pts)[:, 0]
+
+    t = jnp.linspace(0.0, 1.0, n, dtype=rays_o.dtype)
+    z_vals = near[:, None] + (far - near)[:, None] * t[None, :]
+
+    perturb = rcfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+    if perturb > 0:
+        assert key is not None, "perturbed sampling needs a PRNG key"
+        t_rand = jax.random.uniform(key, (R, 1), dtype=z_vals.dtype) - 0.5
+        z_vals = z_vals + t_rand * 2.0 / n
+
+    if rcfg.n_importance > 0:
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        sdf = sdf_fn(pts.reshape(-1, 3)).reshape(R, n)
+        n_per_round = rcfg.n_importance // rcfg.up_sample_steps
+        for i in range(rcfg.up_sample_steps):
+            new_z = up_sample_z(rays_o, rays_d, z_vals, sdf, n_per_round, 64 * 2 ** i)
+            last = i + 1 == rcfg.up_sample_steps
+            if last:
+                z_vals, sdf = merge_z_vals(z_vals, new_z, None, None)
+            else:
+                new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
+                new_sdf = sdf_fn(new_pts.reshape(-1, 3)).reshape(R, n_per_round)
+                z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, new_sdf)
+
+    return jax.lax.stop_gradient(z_vals)
+
+
+# ---------------------------------------------------------------------------
+# Background (NeRF++ inverted-sphere) model
+# ---------------------------------------------------------------------------
+
+def render_core_outside(params, rcfg: RendererConfig, rays_o, rays_d, z_vals,
+                        sample_dist, background_rgb=None):
+    """NeRF++ background shading (NeuS.py:95-134)."""
+    R, S = z_vals.shape
+    dists, mid_z_vals = section_dists(z_vals, sample_dist)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., None]
+    dis = jnp.linalg.norm(pts, axis=-1, keepdims=True).clip(1.0, 1e10)
+    pts4 = jnp.concatenate([pts / dis, 1.0 / dis], axis=-1)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3))
+
+    density, raw_rgb = fields.nerf_apply(
+        params["nerf"], rcfg.nerf, pts4.reshape(-1, 4), dirs.reshape(-1, 3))
+    sampled_color = jax.nn.sigmoid(raw_rgb).reshape(R, S, 3)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(R, S)) * dists)
+    weights = exclusive_cumprod_weights(alpha)
+    color = jnp.sum(weights[..., None] * sampled_color, axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+    return {"color": color, "sampled_color": sampled_color, "alpha": alpha, "weights": weights}
+
+
+# ---------------------------------------------------------------------------
+# Render cores
+# ---------------------------------------------------------------------------
+
+def _sample_points(rays_o, rays_d, z_vals, sample_dist):
+    dists, mid_z_vals = section_dists(z_vals, sample_dist)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., None]
+    R, S = z_vals.shape
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3))
+    return dists, mid_z_vals, pts.reshape(-1, 3), dirs.reshape(-1, 3)
+
+
+def _sphere_masks(pts_flat, R, S):
+    pts_norm = jnp.linalg.norm(pts_flat, axis=-1).reshape(R, S)
+    inside = jax.lax.stop_gradient((pts_norm < 1.0).astype(pts_flat.dtype))
+    relaxed = jax.lax.stop_gradient((pts_norm < 1.2).astype(pts_flat.dtype))
+    return inside, relaxed
+
+
+def _eikonal_error(gradients, relax_inside):
+    """Mean squared (|grad|-1) over the relaxed sphere (NeuS.py:277-279)."""
+    err = (jnp.linalg.norm(gradients, axis=-1) - 1.0) ** 2
+    return jnp.sum(relax_inside * err) / (jnp.sum(relax_inside) + 1e-5)
+
+
+def _blend_background(alpha, sampled_color, inside, background_alpha, background_sampled_color, S):
+    alpha_in = alpha * inside + background_alpha[:, :S] * (1.0 - inside)
+    alpha_full = jnp.concatenate([alpha_in, background_alpha[:, S:]], axis=-1)
+    col_in = sampled_color * inside[..., None] + \
+        background_sampled_color[:, :S] * (1.0 - inside)[..., None]
+    col_full = jnp.concatenate([col_in, background_sampled_color[:, S:]], axis=1)
+    return alpha_full, col_full
+
+
+def render_core_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals, sample_dist,
+                     background_alpha=None, background_sampled_color=None,
+                     background_rgb=None, cos_anneal_ratio: float = 0.0):
+    """Plain NeuS core (NeuS.py:199-292)."""
+    R, S = z_vals.shape
+    dists, mid_z_vals, pts, dirs = _sample_points(rays_o, rays_d, z_vals, sample_dist)
+
+    sdf, feature, gradients = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
+    sampled_color = fields.color_apply(
+        params["color"], rcfg.color, pts, gradients, dirs, feature).reshape(R, S, 3)
+
+    inv_s = fields.variance_inv_s(params["variance"])
+    true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
+    iter_cos = anneal_cos(true_cos, cos_anneal_ratio)
+
+    alpha, prev_cdf = neus_alpha(sdf.reshape(R, S),
+                                 iter_cos.reshape(R, S), dists, inv_s)
+    inside, relaxed = _sphere_masks(pts, R, S)
+
+    if background_alpha is not None:
+        alpha, sampled_color = _blend_background(
+            alpha, sampled_color, inside, background_alpha, background_sampled_color, S)
+
+    weights = exclusive_cumprod_weights(alpha)
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    color = jnp.sum(sampled_color * weights[..., None], axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+
+    return {
+        "color": color,
+        "sdf": sdf,
+        "dists": dists,
+        "gradients": gradients.reshape(R, S, 3),
+        "s_val": jnp.full((R, 1), 1.0, dtype=color.dtype) / inv_s,
+        "mid_z_vals": mid_z_vals,
+        "weights": weights,
+        "cdf": prev_cdf.reshape(R, S),
+        "gradient_error": _eikonal_error(gradients.reshape(R, S, 3), relaxed),
+        "inside_sphere": inside,
+    }
+
+
+def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
+                key=None, perturb_overwrite: float = -1.0, background_rgb=None,
+                cos_anneal_ratio: float = 0.0, sdf_fn=None):
+    """Full forward: hierarchical sampling + core (NeuS.py:294-408 semantics).
+
+    Returns the reference's output dict: color_fine, s_val, cdf_fine,
+    weight_sum, weight_max, gradients, weights, gradient_error,
+    inside_sphere, depth (+ global_color / delta_relight for color_neus).
+    """
+    sample_dist = 2.0 / rcfg.n_samples
+    if sdf_fn is None and rcfg.fused_sdf != "off" and rcfg.n_importance > 0:
+        from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_fn
+        sdf_fn = resolve_sdf_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+    z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
+                                 key=key, perturb_overwrite=perturb_overwrite, sdf_fn=sdf_fn)
+
+    background_alpha = None
+    background_sampled_color = None
+    z_vals_feed = z_vals
+    if rcfg.n_outside > 0:
+        # Inverted-sphere background samples beyond `far` (NeuS.py:315-336).
+        R = rays_o.shape[0]
+        t_out = jnp.linspace(1e-3, 1.0 - 1.0 / (rcfg.n_outside + 1.0), rcfg.n_outside,
+                             dtype=z_vals.dtype)
+        z_out = far[:, None] / jnp.flip(t_out, axis=-1)[None, :] + 1.0 / rcfg.n_samples
+        z_vals_feed = jnp.sort(jnp.concatenate([z_vals, z_out], axis=-1), axis=-1)
+        out = render_core_outside(params, rcfg, rays_o, rays_d, z_vals_feed, sample_dist)
+        background_alpha = out["alpha"]
+        background_sampled_color = out["sampled_color"]
+
+    if rcfg.kind == "color_neus":
+        from color_neus_tpu.models.color_neus import render_core_color_neus
+        core = render_core_color_neus
+    else:
+        core = render_core_neus
+
+    ret = core(params, rcfg, rays_o, rays_d, z_vals, sample_dist,
+               background_alpha=background_alpha,
+               background_sampled_color=background_sampled_color,
+               background_rgb=background_rgb,
+               cos_anneal_ratio=cos_anneal_ratio)
+
+    weights = ret["weights"]
+    out = {
+        "color_fine": ret["color"],
+        "s_val": jnp.mean(jnp.broadcast_to(ret["s_val"], (z_vals.shape[0], 1)), axis=-1, keepdims=True),
+        "cdf_fine": ret["cdf"],
+        "weight_sum": jnp.sum(weights, axis=-1, keepdims=True),
+        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "gradients": ret["gradients"],
+        "weights": weights,
+        "gradient_error": ret["gradient_error"],
+        "inside_sphere": ret["inside_sphere"],
+        "depth": jnp.sum(weights * (z_vals_feed if rcfg.n_outside > 0 else z_vals), axis=-1),
+    }
+    for k in ("global_color", "delta_relight"):
+        if k in ret:
+            out[k] = ret[k]
+    return out

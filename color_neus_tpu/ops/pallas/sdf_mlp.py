@@ -1,0 +1,205 @@
+"""Fused SDF-MLP forward kernel (no-grad path).
+
+The SDF network is ~0.53 MMAC/point over 9 GEMM layers; on the no-grad
+sweeps (hierarchical up-sampling: 5 sweeps/step; dense-grid extraction:
+res^3 points) XLA would round-trip every [N, 256] activation through HBM
+between layers. This kernel keeps the whole weight set (~2.4 MB padded
+f32) plus one tile of activations resident in VMEM, so each point's
+activations never leave the chip: one HBM read (the embedded input) and
+one write (the sdf) per point, everything else MXU.
+
+Layout: all feature dims padded to multiples of 128 (lane width); the
+skip layer concatenates [h, emb]/sqrt(2) in VMEM. Only the sdf channel
+of the final layer is materialized (the sweeps don't need features).
+
+Weight-norm is resolved (W = g * v/||v||) at pack time — cheap relative
+to the sweep and exact.
+
+Reference semantics: fields.py:81-100 (SDFNetwork.forward / .sdf).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from color_neus_tpu.models.configs import SDFConfig
+from color_neus_tpu.ops.embedding import positional_encoding, embedding_dim
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fused_kernel_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+def _resolve_linear(p: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weight-norm -> dense (w [out,in], b [out])."""
+    if "v" in p:
+        v = p["v"]
+        w = v * (p["g"] / jnp.linalg.norm(v, axis=1).clip(1e-12))[:, None]
+    else:
+        w = p["w"]
+    return w, p["b"]
+
+
+def pack_sdf_weights(params: dict, cfg: SDFConfig):
+    """Pad every layer to lane-aligned [in_p, out_p] (transposed for x @ W)
+    and keep only the sdf row of the last layer.
+
+    Returns (weights list, biases list, meta dict). Zero-padding keeps the
+    math exact: padded input features are zero, padded weight rows/cols
+    are zero.
+    """
+    d0 = embedding_dim(cfg.d_in, cfg.multires) if cfg.multires > 0 else cfg.d_in
+    d0p = _round_up(d0, 128)
+    n_lin = cfg.n_layers + 1
+
+    ws, bs = [], []
+    meta = {"d0": d0, "d0p": d0p, "skip": tuple(cfg.skip_in), "n_lin": n_lin,
+            "scale": cfg.scale, "widths": []}
+    prev_p = d0p
+    prev_real = d0
+    for l in range(n_lin):
+        w, b = _resolve_linear(params[f"lin{l}"])
+        out_real, in_real = w.shape
+        if l == n_lin - 1:
+            w = w[:1]   # sdf channel only
+            b = b[:1]
+            out_real = 1
+        if l in cfg.skip_in:
+            # input is concat([h, emb]) / sqrt(2): pad the two pieces
+            # independently so the kernel can concat aligned blocks.
+            h_real = in_real - d0
+            h_p = _round_up(h_real, 128)
+            in_p = h_p + d0p
+            wp = jnp.zeros((in_p, _round_up(out_real, 128)), w.dtype)
+            wp = wp.at[:h_real, :out_real].set(w[:, :h_real].T)
+            wp = wp.at[h_p:h_p + d0, :out_real].set(w[:, h_real:].T)
+            meta["widths"].append(("skip", h_real, h_p))
+        else:
+            in_p = prev_p
+            wp = jnp.zeros((in_p, _round_up(out_real, 128)), w.dtype)
+            wp = wp.at[:in_real, :out_real].set(w.T)
+            meta["widths"].append(("dense", in_real, in_p))
+        bp = jnp.zeros((1, _round_up(out_real, 128)), b.dtype).at[0, :out_real].set(b)
+        ws.append(wp)
+        bs.append(bp)
+        prev_real = out_real
+        prev_p = _round_up(out_real, 128)
+    return ws, bs, meta
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _softplus100(x):
+    return jax.nn.softplus(x * 100.0) / 100.0
+
+
+def _sdf_mlp_kernel(meta, n_lin, emb_ref, *refs):
+    ws = refs[:n_lin]
+    bs = refs[n_lin:2 * n_lin]
+    out_ref = refs[2 * n_lin]
+
+    emb = emb_ref[:]                         # [T, d0p]
+    h = emb
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for l in range(n_lin):
+        kind, real, pad = meta["widths"][l]
+        if kind == "skip":
+            # zero-pad h to the aligned skip width, then append emb
+            h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
+        h = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
+        if l < n_lin - 1:
+            h = _softplus100(h)
+    out_ref[:] = h                            # [T, 128], col 0 = raw sdf
+
+
+def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
+                      interpret: bool = False):
+    """Returns sdf_fn(pts [N, 3]) -> sdf [N] using the fused kernel.
+
+    Call INSIDE a traced computation: `params` are traced values, packing
+    (weight-norm resolve + padding) becomes part of the surrounding jit
+    and is CSE'd across the 5 up-sample sweeps of a step. N is padded to
+    a tile multiple. Off-TPU callers should pass interpret=True (tests)
+    or use the plain-XLA path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ws, bs, meta = pack_sdf_weights(params, cfg)
+    n_lin = meta["n_lin"]
+    d0p = meta["d0p"]
+
+    kernel = partial(_sdf_mlp_kernel, meta, n_lin)
+
+    def sdf_fn(pts: jnp.ndarray) -> jnp.ndarray:
+        n = pts.shape[0]
+        n_pad = _round_up(max(n, tile), tile)
+        pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
+        emb = positional_encoding(pts_p * meta["scale"], cfg.multires) \
+            if cfg.multires > 0 else pts_p * meta["scale"]
+        embp = jnp.zeros((n_pad, d0p), emb.dtype).at[:, :meta["d0"]].set(emb)
+
+        grid = (n_pad // tile,)
+        in_specs = [pl.BlockSpec((tile, d0p), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        for w in ws:
+            in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for b in bs:
+            in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            interpret=interpret,
+        )(embp, *ws, *bs)
+        return out[:n, 0] / meta["scale"]
+
+    return sdf_fn
+
+
+def fused_sdf_fn(params: dict, cfg: SDFConfig, pts: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """One-shot convenience wrapper."""
+    return make_fused_sdf_fn(params, cfg, interpret=interpret)(pts)
+
+
+def resolve_sdf_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
+    """Pick the sweep-time SDF evaluator.
+
+    mode: 'auto' (fused on TPU, plain XLA otherwise), 'on', 'off',
+    'interpret' (fused kernel under the Pallas interpreter — oracle for
+    tests). Returns sdf_fn(pts [N,3]) -> [N] or None (= plain XLA).
+    """
+    if mode == "off":
+        return None
+    # the fused kernel is forward-only (no VJP rule): it must never see
+    # gradient-carrying params — callers use it on no-grad paths only
+    params = jax.lax.stop_gradient(params)
+    if mode == "interpret":
+        return make_fused_sdf_fn(params, cfg, interpret=True)
+    if mode == "on" or (mode == "auto" and fused_kernel_available()):
+        return make_fused_sdf_fn(params, cfg)
+    return None

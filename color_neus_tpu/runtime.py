@@ -1,0 +1,194 @@
+"""Experiment runtime: the train/eval loops gluing data, model, recorder.
+
+Counterpart of the reference's train.py:37-98 main_worker and the
+NeuS_Trainer validation hooks. One process drives all local devices;
+batches of images are sampled host-side (cheap, once per step) while ray
+sampling and everything after is on-device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from color_neus_tpu.data import create_dataset
+from color_neus_tpu.models import trainer as TR
+from color_neus_tpu.models.trainer import TrainerConfig, trainer_config_from_cfg
+from color_neus_tpu.ops import mesh as mesh_ops
+from color_neus_tpu.utils.logger import logger
+from color_neus_tpu.utils.metrics import LossMetric, PSNR, SSIM, mse2psnr
+from color_neus_tpu.utils.recorder import Recorder, ScalarWriter
+
+
+def depth_colormap(depth: np.ndarray) -> np.ndarray:
+    """HOT-style colormap for depth viz (viztools.py:158-162 capability)."""
+    d = depth - depth.min()
+    d = d / max(float(d.max()), 1e-8)
+    r = np.clip(3 * d, 0, 1)
+    g = np.clip(3 * d - 1, 0, 1)
+    b = np.clip(3 * d - 2, 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+class TrainLoop:
+    def __init__(self, cfg, exp_id: str = "default", resume: str | None = None,
+                 snapshot: int = 50, mesh_backend: str = "auto"):
+        self.cfg = cfg
+        self.exp_id = exp_id
+        self.mesh_backend = mesh_backend
+
+        seed = cfg["TRAIN"].get("MANUAL_SEED", 1)
+        self.key = jax.random.PRNGKey(seed)
+
+        # dataset
+        self.dataset = create_dataset(cfg["DATASET"], cfg.get("DATA_PRESET", {}))
+        init = self.dataset.init_data()
+        self.H, self.W = init["H"], init["W"]
+        self.n_imgs = init["n_imgs"]
+        self.scale_mats = init["scale_mats_np"]
+        self.bbox_min = init["object_bbox_min"]
+        self.bbox_max = init["object_bbox_max"]
+
+        # trainer config + state
+        self.tcfg: TrainerConfig = trainer_config_from_cfg(cfg, self.H, self.W, self.n_imgs)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = TR.init_state(k_init, self.tcfg, init_focal_np=init["focal"])
+        self.scene = TR.make_scene(init["origin"], init["radius"], init["poses"])
+
+        # data on device (load once — get_all_init semantics, dtu.py:160)
+        all_data = self.dataset.load_all()
+        self.images = jnp.asarray(all_data["images"])
+        self.masks = (jnp.asarray(all_data["masks"])
+                      if all_data["masks"] is not None else None)
+
+        # runtime
+        self.recorder = Recorder(exp_id, cfg, resume_path=resume, snapshot=snapshot)
+        self.writer = ScalarWriter(os.path.join(self.recorder.exp_path, "tensorboard"))
+        self.loss_metric = LossMetric()
+        self.psnr_metric = PSNR()
+        self.ssim_metric = SSIM()
+
+        pretrained = cfg["MODEL"].get("PRETRAINED")
+        if pretrained:
+            from color_neus_tpu.utils.checkpoint import load_pytree_like
+            tree = load_pytree_like({"state": self.state, "prng_key": self.key}, pretrained)
+            self.state = tree["state"]
+            logger.info("loaded pretrained state from %s", pretrained)
+
+        if resume:
+            self.state, self.key = self.recorder.resume_checkpoint(self.state, self.key)
+            logger.info("resumed at step %d", int(self.state["step"]))
+
+        self.step_fn = TR.make_train_step(self.tcfg)
+        self._chunk_fn = None
+
+    # ------------------------------------------------------------------
+    def _sample_image_batch(self, key):
+        """Pick BATCH_SIZE random images (host-side randperm,
+        dtu.py:164-175 semantics) and gather them on device."""
+        b = min(self.cfg["TRAIN"]["BATCH_SIZE"], self.n_imgs)
+        idx = jax.random.permutation(key, self.n_imgs)[:b]
+        images = jnp.take(self.images, idx, axis=0)
+        masks = jnp.take(self.masks, idx, axis=0) if self.masks is not None else None
+        return images, masks, idx.astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        t = self.cfg["TRAIN"]
+        iterations = t["ITERATIONS"]
+        log_int = t.get("LOG_INTERVAL", 10)
+        save_int = t.get("SAVE_INTERVAL", 10000)
+        viz_img_int = t.get("VIZ_IMAGE_INTERVAL", 10000)
+        viz_mesh_int = t.get("VIZ_MESH_INTERVAL", 10000)
+
+        start = int(self.state["step"])
+        logger.info("training %s: steps %d..%d", self.exp_id, start, iterations)
+        t0 = time.time()
+        rays_done = 0
+        for step in range(start, iterations):
+            self.key, k_batch, k_step = jax.random.split(self.key, 3)
+            images, masks, img_ids = self._sample_image_batch(k_batch)
+            self.state, aux = self.step_fn(self.state, self.scene, images, masks,
+                                           img_ids, k_step)
+            rays_done += self.tcfg.n_rays
+
+            if step % log_int == 0:
+                aux_np = {k: float(v) for k, v in aux.items()}
+                self.loss_metric.feed(aux_np, 1)
+                for k, v in aux_np.items():
+                    self.writer.add_scalar(k, v, step)
+                dt = time.time() - t0
+                logger.info("step %d | loss %.5f | psnr %.2f | %.0f rays/s",
+                            step, aux_np["loss"], aux_np["psnr"],
+                            rays_done / max(dt, 1e-9))
+
+            if (step + 1) % save_int == 0 or step + 1 == iterations:
+                self.recorder.record_checkpoint(self.state, self.key)
+                self.recorder.record_loss(self.loss_metric, step, comment="train-")
+                self.loss_metric.reset()
+
+            if (step + 1) % viz_img_int == 0:
+                self.validate_image(step)
+            if (step + 1) % viz_mesh_int == 0:
+                self.validate_mesh(step, resolution=512)
+
+        self.recorder.record_checkpoint(self.state, self.key)
+        self.writer.flush()
+        logger.info("training done.")
+
+    # ------------------------------------------------------------------
+    def validate_image(self, step: int):
+        """Render one random view; dump [GT | render | depth] strip and
+        feed PSNR/SSIM (NeuS_Trainer.validate_image 216-277)."""
+        self.key, k_pick, k_render = jax.random.split(self.key, 3)
+        cam_id = int(jax.random.randint(k_pick, (), 0, self.n_imgs))
+        if self._chunk_fn is None:
+            self._chunk_fn = TR.make_render_chunk(self.tcfg)
+        rgb, depth = TR.render_image(self.state["params"], self.scene, self.tcfg,
+                                     cam_id, self.H, self.W, k_render,
+                                     chunk_fn=self._chunk_fn)
+        gt = np.asarray(self.images[cam_id])
+        strip = np.hstack([
+            (gt * 255).astype(np.uint8),
+            (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+            depth_colormap(depth),
+        ])
+        try:
+            import imageio
+            imageio.imwrite(os.path.join(self.recorder.viz_image_dir,
+                                         f"img_{step}.png"), strip)
+        except Exception as e:  # viz is best-effort
+            logger.warning("image dump failed: %s", e)
+        self.psnr_metric.feed(rgb, gt)
+        self.ssim_metric.feed(rgb, gt)
+        self.recorder.record_metric([self.psnr_metric, self.ssim_metric], step,
+                                    comment="val-")
+        logger.info("val @%d: %s %s", step, self.psnr_metric, self.ssim_metric)
+        self.psnr_metric.reset()
+        self.ssim_metric.reset()
+
+    # ------------------------------------------------------------------
+    def validate_mesh(self, step: int, resolution: int = 64, threshold: float = 0.0,
+                      world_space: bool = True):
+        """Extract mesh + vertex colors; write PLYs
+        (NeuS_Trainer.validate_mesh 279-307)."""
+        params = self.state["params"]["renderer"]
+        verts, tris = mesh_ops.extract_geometry(
+            params, self.tcfg.renderer, self.bbox_min, self.bbox_max,
+            resolution, threshold)
+        logger.info("mesh @%d: %d verts, %d tris", step, len(verts), len(tris))
+        if len(verts) == 0:
+            return None
+        colors = mesh_ops.extract_vertex_colors(params, self.tcfg.renderer, verts)
+        verts_out = verts
+        if world_space:
+            verts_out = verts * self.scale_mats[0][0, 0] + self.scale_mats[0][:3, 3][None]
+        mesh_ops.write_ply(os.path.join(self.recorder.mesh_dir,
+                                        f"{step:08d}_mesh.ply"), verts_out, tris)
+        mesh_ops.write_ply(os.path.join(self.recorder.mesh_dir,
+                                        f"{step:08d}_color.ply"), verts_out, tris, colors)
+        return verts_out, tris, colors

@@ -1,0 +1,26 @@
+"""Test env: force CPU with 8 virtual devices so sharding tests run
+anywhere (the idiomatic JAX way to test multi-chip layouts without a TPU
+slice). Must run before jax is imported anywhere."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly so
+# tests never ride the TPU tunnel and the 8 fake devices materialize.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, "need 8 virtual CPU devices for sharding tests"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,105 @@
+"""Marching-tetrahedra, grid eval, vertex colors, PLY round-trip."""
+
+import os
+
+import numpy as np
+import jax
+
+from color_neus_tpu.ops.marching_cubes import marching_cubes, extract_geometry_from_grid
+from color_neus_tpu.ops import mesh as mesh_ops
+
+
+def _sphere_grid(res=48, radius=0.6):
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    return radius - r  # u = -sdf: positive inside (mcubes convention)
+
+
+def test_mc_sphere_geometry():
+    res, radius = 48, 0.6
+    u = _sphere_grid(res, radius)
+    verts, tris = extract_geometry_from_grid(u, [-1, -1, -1], [1, 1, 1], 0.0)
+    assert len(verts) > 500 and len(tris) > 500
+    r = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(r.mean(), radius, atol=0.02)
+    assert r.std() < 0.02
+    # surface area of the triangle mesh ≈ 4*pi*r^2
+    a, b, c = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+    np.testing.assert_allclose(area, 4 * np.pi * radius ** 2, rtol=0.05)
+
+
+def test_mc_watertight_sphere():
+    """Every edge of a closed surface must be shared by exactly 2 triangles."""
+    u = _sphere_grid(32, 0.5)
+    verts, tris = marching_cubes(u, 0.0)
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    keys = edges[:, 0].astype(np.int64) * len(verts) + edges[:, 1]
+    _, counts = np.unique(keys, return_counts=True)
+    assert (counts == 2).all(), f"non-manifold edges: {np.unique(counts)}"
+
+
+def test_mc_empty_and_full():
+    u = -np.ones((8, 8, 8), np.float32)
+    v, t = marching_cubes(u, 0.0)
+    assert len(v) == 0 and len(t) == 0
+    u = np.ones((8, 8, 8), np.float32)
+    v, t = marching_cubes(u, 0.0)
+    assert len(v) == 0 and len(t) == 0
+
+
+def test_mc_plane_offset():
+    """Isosurface of a linear field is the right plane."""
+    res = 16
+    lin = np.linspace(0, 1, res, dtype=np.float32)
+    u = (0.37 - lin)[None, None, :] * np.ones((res, res, 1), np.float32)
+    verts, tris = extract_geometry_from_grid(u, [0, 0, 0], [1, 1, 1], 0.0)
+    np.testing.assert_allclose(verts[:, 2], 0.37, atol=1e-5)
+
+
+def test_extract_geometry_from_sdf_net(key):
+    """Geometric-init SDF is a sphere of radius 1/6 — extraction should
+    recover it."""
+    from color_neus_tpu.models.configs import SDFConfig, RendererConfig
+    from color_neus_tpu.models import fields
+    cfg = RendererConfig(sdf=SDFConfig())
+    params = {"sdf": fields.init_sdf(key, cfg.sdf)}
+    verts, tris = mesh_ops.extract_geometry(
+        params, cfg, [-0.4] * 3, [0.4] * 3, 48, 0.0)
+    assert len(verts) > 100
+    r = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(r.mean(), 1.0 / 6.0, atol=0.02)
+
+
+def test_vertex_colors(key):
+    from color_neus_tpu.models.configs import RendererConfig, ColorConfig, SDFConfig
+    from color_neus_tpu.models import neus
+    cfg = RendererConfig(
+        kind="neus",
+        sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
+        color=ColorConfig(mode="idr", d_in=9, d_feature=256, d_hidden=64, n_layers=2))
+    params = neus.init_renderer(key, cfg)
+    verts = np.random.RandomState(0).randn(100, 3).astype(np.float32) * 0.2
+    colors = mesh_ops.extract_vertex_colors(params, cfg, verts, chunk=64)
+    assert colors.shape == (100, 3)
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+
+
+def test_ply_roundtrip(tmp_path):
+    verts = np.random.RandomState(1).rand(50, 3).astype(np.float32)
+    tris = np.random.RandomState(2).randint(0, 50, (30, 3)).astype(np.int32)
+    colors = np.random.RandomState(3).rand(50, 3).astype(np.float32)
+    p = os.path.join(tmp_path, "m.ply")
+    mesh_ops.write_ply(p, verts, tris, colors)
+    v2, t2, c2 = mesh_ops.read_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(t2, tris)
+    np.testing.assert_allclose(c2, colors, atol=1 / 255.0 + 1e-6)
+
+    p2 = os.path.join(tmp_path, "m2.ply")
+    mesh_ops.write_ply(p2, verts, tris)
+    v3, t3, c3 = mesh_ops.read_ply(p2)
+    np.testing.assert_allclose(v3, verts, atol=1e-6)
+    assert c3 is None

@@ -1,0 +1,102 @@
+"""Fused Pallas kernels vs the plain-XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from color_neus_tpu.models.configs import SDFConfig
+from color_neus_tpu.models import fields
+from color_neus_tpu.ops.pallas.sdf_mlp import (
+    pack_sdf_weights, make_fused_sdf_fn, resolve_sdf_fn,
+)
+
+
+def _check(cfg, key, n=300, atol=2e-5):
+    params = fields.init_sdf(key, cfg)
+    pts = jax.random.normal(jax.random.fold_in(key, 1), (n, 3)) * 0.4
+    ref = fields.sdf_value(params, cfg, pts)[:, 0]
+    got = make_fused_sdf_fn(params, cfg, tile=256, interpret=True)(pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol, rtol=1e-5)
+
+
+def test_fused_sdf_full_size(key):
+    _check(SDFConfig(), key)  # 8x256, skip at 4, PE 6 — the flagship shape
+
+
+def test_fused_sdf_no_skip(key):
+    _check(SDFConfig(d_hidden=64, n_layers=3, skip_in=(), multires=4), key)
+
+
+def test_fused_sdf_small_skip(key):
+    _check(SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4), key)
+
+
+def test_fused_sdf_no_weight_norm(key):
+    _check(SDFConfig(weight_norm=False), key)
+
+
+def test_fused_sdf_padding_boundary(key):
+    """n not a multiple of the tile, and n < tile."""
+    cfg = SDFConfig(d_hidden=64, n_layers=2, skip_in=(), multires=4)
+    params = fields.init_sdf(key, cfg)
+    for n in (1, 255, 257):
+        pts = jax.random.normal(jax.random.fold_in(key, n), (n, 3)) * 0.3
+        ref = fields.sdf_value(params, cfg, pts)[:, 0]
+        got = make_fused_sdf_fn(params, cfg, tile=256, interpret=True)(pts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pack_exactness(key):
+    """Padded weights must reproduce the dense layer exactly."""
+    cfg = SDFConfig(d_hidden=64, n_layers=2, skip_in=(), multires=4)
+    params = fields.init_sdf(key, cfg)
+    ws, bs, meta = pack_sdf_weights(params, cfg)
+    # layer 0: emb(27 real) @ W
+    from color_neus_tpu.ops.embedding import positional_encoding
+    pts = jax.random.normal(key, (5, 3)) * 0.2
+    emb = positional_encoding(pts * cfg.scale, cfg.multires)
+    embp = jnp.zeros((5, meta["d0p"])).at[:, :meta["d0"]].set(emb)
+    h_kernel = embp @ ws[0] + bs[0]
+    from color_neus_tpu.models.fields import linear_apply
+    h_ref = linear_apply(params["lin0"], emb)
+    np.testing.assert_allclose(np.asarray(h_kernel[:, :64]), np.asarray(h_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_kernel[:, 64:]), 0.0, atol=0)
+
+
+def test_resolve_modes(key):
+    cfg = SDFConfig(d_hidden=64, n_layers=2, skip_in=(), multires=4)
+    params = fields.init_sdf(key, cfg)
+    assert resolve_sdf_fn(params, cfg, "off") is None
+    assert resolve_sdf_fn(params, cfg, "auto") is None  # CPU in tests
+    fn = resolve_sdf_fn(params, cfg, "interpret")
+    pts = jax.random.normal(key, (17, 3)) * 0.3
+    ref = fields.sdf_value(params, cfg, pts)[:, 0]
+    np.testing.assert_allclose(np.asarray(fn(pts)), np.asarray(ref), atol=2e-5)
+
+
+def test_render_rays_with_interpret_kernel(key):
+    """Full renderer with the fused sweep must match the plain path."""
+    from color_neus_tpu.models.configs import RendererConfig, ColorConfig
+    from color_neus_tpu.models import neus
+    from color_neus_tpu.ops.rays import near_far_from_sphere
+
+    cfg = RendererConfig(
+        kind="neus", n_samples=16, n_importance=8, up_sample_steps=4,
+        fused_sdf="off",
+        sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
+        color=ColorConfig(mode="idr", d_in=9, d_feature=256, d_hidden=64, n_layers=2))
+    params = neus.init_renderer(key, cfg)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (3, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (3, 1))
+    near, far = near_far_from_sphere(o, d)
+
+    out_plain = neus.render_rays(params, cfg, o, d, near, far,
+                                 perturb_overwrite=0.0)
+    fused_fn = make_fused_sdf_fn(params["sdf"], cfg.sdf, tile=256, interpret=True)
+    out_fused = neus.render_rays(params, cfg, o, d, near, far,
+                                 perturb_overwrite=0.0, sdf_fn=fused_fn)
+    np.testing.assert_allclose(np.asarray(out_plain["color_fine"]),
+                               np.asarray(out_fused["color_fine"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_plain["depth"]),
+                               np.asarray(out_fused["depth"]), atol=1e-4)

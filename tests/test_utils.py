@@ -1,0 +1,166 @@
+"""Utils tests: config, registry, metrics (SSIM vs torch impl, chamfer),
+checkpoint round-trip, recorder."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from color_neus_tpu.utils.config import get_config, Config
+from color_neus_tpu.utils.registry import Registry
+from color_neus_tpu.utils import metrics as M
+from color_neus_tpu.utils.checkpoint import save_pytree, load_pytree_like
+from color_neus_tpu.utils.recorder import Recorder
+
+
+def test_config_load_and_defaults(tmp_path):
+    p = os.path.join(tmp_path, "c.yml")
+    with open(p, "w") as f:
+        f.write("MODEL:\n  N_RAYS: 256\nTRAIN:\n  BATCH_SIZE: 4\n")
+    cfg = get_config(p)
+    assert cfg.MODEL.N_RAYS == 256
+    assert cfg.TRAIN.BATCH_SIZE == 4
+    assert cfg.TRAIN.MANUAL_SEED == 1  # default preserved
+    # dump/reload round-trip
+    out = os.path.join(tmp_path, "dump.yml")
+    cfg.dump_yaml(out)
+    cfg2 = get_config(out, merge=False)
+    assert cfg2.MODEL.N_RAYS == 256
+
+
+def test_config_cli_overrides(tmp_path):
+    p = os.path.join(tmp_path, "c.yml")
+    with open(p, "w") as f:
+        f.write("MODEL:\n  PRETRAINED: null\nTRAIN:\n  BATCH_SIZE: 8\n")
+
+    class A:
+        batch_size = 2
+        reload = "/ckpt.npz"
+        obj_id = "83"
+    cfg = get_config(p, A())
+    assert cfg.TRAIN.BATCH_SIZE == 2
+    assert cfg.MODEL.PRETRAINED == "/ckpt.npz"
+    assert cfg.DATASET.OBJ_ID == "83"
+
+
+def test_reference_schema_configs_load():
+    """Our shipped configs must parse into TrainerConfig."""
+    from color_neus_tpu.models.trainer import trainer_config_from_cfg
+    for name in ("Color_NeuS_dtu", "NeuS_dtu", "Color_NeuS_iho",
+                 "Color_NeuS_omniobject3d", "Color_NeuS_synthetic"):
+        cfg = get_config(os.path.join("config", f"{name}.yml"))
+        t = trainer_config_from_cfg(cfg, H=32, W=32, n_cams=4)
+        assert t.renderer.kind in ("neus", "color_neus")
+        if "iho" in name:
+            assert t.camera.learn_focal and t.camera.learn_r and t.camera.learn_t
+            assert t.lambda_mask == 0.0
+        if "omniobject" in name:
+            assert not t.include_mask
+
+
+def test_registry():
+    reg = Registry("t")
+
+    @reg.register_module("Foo")
+    class Foo:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+    assert "Foo" in reg
+    obj = reg.build({"TYPE": "Foo", "X": 1})
+    assert obj.cfg["X"] == 1
+    with pytest.raises(KeyError):
+        reg.get("Bar")
+
+
+def test_ssim_matches_independent_torch():
+    """Cross-check our JAX SSIM against a freshly-written torch version
+    with the same gaussian window."""
+    import torch
+    import torch.nn.functional as TF
+    rng = np.random.RandomState(0)
+    a = rng.rand(32, 32, 3).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.randn(32, 32, 3).astype(np.float32), 0, 1)
+    got = float(M.ssim(jnp.asarray(a), jnp.asarray(b)))
+
+    x = np.arange(11) - 5.0
+    g = np.exp(-0.5 * (x / 1.5) ** 2)
+    g /= g.sum()
+    k = torch.tensor(np.outer(g, g), dtype=torch.float32)[None, None]
+
+    def filt(im):
+        t = torch.tensor(im).permute(2, 0, 1)[:, None]
+        return TF.conv2d(t, k)[:, 0]
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = filt(a), filt(b)
+    s1 = filt(a * a) - mu1 ** 2
+    s2 = filt(b * b) - mu2 ** 2
+    s12 = filt(a * b) - mu1 * mu2
+    ref = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) /
+           ((mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))).mean().item()
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_ssim_identity():
+    a = np.random.RandomState(1).rand(24, 24, 3).astype(np.float32)
+    assert float(M.ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+
+
+def test_psnr():
+    p = M.PSNR()
+    p.feed(np.zeros((4, 4, 3)), np.full((4, 4, 3), 0.1))
+    np.testing.assert_allclose(p.avg, 20.0, atol=1e-4)
+
+
+def test_chamfer():
+    a = np.random.RandomState(2).randn(500, 3).astype(np.float32)
+    assert M.chamfer_distance(a, a) < 1e-6  # fp32 roundoff in x²-2ab+b²
+    b = a + np.asarray([0.1, 0, 0], np.float32)
+    d = M.chamfer_distance(a, b)
+    assert 0 < d <= 0.02 + 1e-6  # ≤ 2 * 0.1^2, less due to NN reassignment
+
+
+def test_loss_metric():
+    lm = M.LossMetric()
+    lm.feed({"loss": 1.0, "x": 2.0})
+    lm.feed({"loss": 3.0, "x": 4.0})
+    assert lm.get_loss() == 2.0
+    lm.reset()
+    assert np.isnan(lm.get_loss()) or lm.get_loss() == 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3)), "d": jnp.asarray(3)},
+            "k": key}
+    p = os.path.join(tmp_path, "ck", "state.npz")
+    save_pytree(p, tree)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    back = load_pytree_like(zero, p)
+    np.testing.assert_allclose(back["a"], np.arange(5.0))
+    np.testing.assert_allclose(back["b"]["c"], np.ones((2, 3)))
+    np.testing.assert_array_equal(back["k"], np.asarray(key))
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    p = os.path.join(tmp_path, "s.npz")
+    save_pytree(p, {"a": jnp.ones(3)})
+    with pytest.raises(ValueError):
+        load_pytree_like({"a": jnp.ones(4)}, p)
+    with pytest.raises(ValueError):
+        load_pytree_like({"a": jnp.ones(3), "b": jnp.ones(1)}, p)
+
+
+def test_recorder_checkpoint_and_resume(tmp_path, key):
+    rec = Recorder("t", None, root=str(tmp_path), snapshot=1)
+    state = {"params": {"w": jnp.ones(4)}, "step": jnp.asarray(7)}
+    rec.record_checkpoint(state, key)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    s2, k2 = rec.resume_checkpoint(zero, jnp.zeros_like(key))
+    assert int(s2["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(key))
+    # snapshot copy exists (snapshot=1 -> every save)
+    snaps = [f for f in os.listdir(rec.ckpt_dir) if f.startswith("state_")]
+    assert len(snaps) == 1

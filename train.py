@@ -1,0 +1,68 @@
+"""Training entry point.
+
+Usage (reference-compatible CLI, README.md:54-72):
+    python train.py --cfg config/Color_NeuS_dtu.yml -obj 83 --exp_id my_exp
+    python train.py --resume exp/my_exp_...           # resume a run
+
+TPU-native runtime: the dataset is loaded once to host RAM, moved
+wholesale into device HBM, and every training step — ray sampling,
+rendering, loss, backward, clip, Adam — is one jitted XLA computation.
+With more than one device, rays are sharded over the mesh
+(color_neus_tpu.parallel) and gradients are psum'd by XLA.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("color_neus_tpu trainer")
+    p.add_argument("--cfg", type=str, default=None, help="config yaml path")
+    p.add_argument("--exp_id", type=str, default="default")
+    p.add_argument("-obj", "--obj_id", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None, help="exp dir to resume")
+    p.add_argument("--reload", type=str, default=None, help="checkpoint to load")
+    p.add_argument("-b", "--batch_size", type=int, default=None)
+    p.add_argument("-g", "--gpu_id", type=str, default=None,
+                   help="accepted for CLI parity; device selection is JAX's")
+    p.add_argument("--snapshot", type=int, default=50)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override TRAIN.ITERATIONS (for smoke runs)")
+    p.add_argument("--data_root", type=str, default=None)
+    return p.parse_args()
+
+
+def main():
+    arg = parse_args()
+
+    import jax
+    from color_neus_tpu.utils.config import get_config
+    from color_neus_tpu.utils.logger import logger
+    from color_neus_tpu.utils.recorder import Recorder, ScalarWriter
+    from color_neus_tpu.utils.metrics import LossMetric
+    from color_neus_tpu.data import create_dataset
+    from color_neus_tpu.models import trainer as TR
+    from color_neus_tpu.runtime import TrainLoop
+
+    if arg.resume:
+        cfg = get_config(Recorder.find_resume_cfg(arg.resume), arg)
+    else:
+        assert arg.cfg is not None, "--cfg required (or --resume)"
+        cfg = get_config(arg.cfg, arg)
+    if arg.iterations is not None:
+        cfg["TRAIN"]["ITERATIONS"] = arg.iterations
+    if arg.data_root is not None:
+        cfg["DATASET"]["DATA_ROOT"] = arg.data_root
+
+    logger.info("devices: %s", jax.devices())
+    loop = TrainLoop(cfg, exp_id=arg.exp_id, resume=arg.resume, snapshot=arg.snapshot)
+    loop.run()
+
+
+if __name__ == "__main__":
+    main()
