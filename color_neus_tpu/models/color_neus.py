@@ -17,7 +17,7 @@ from color_neus_tpu.models import fields
 from color_neus_tpu.models.neus import (
     _sample_points,
     _sphere_masks,
-    _eikonal_error,
+    _eikonal_parts,
     _blend_background,
     anneal_cos,
     exclusive_cumprod_weights,
@@ -66,6 +66,7 @@ def render_core_color_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
+    eik_num, eik_den = _eikonal_parts(gradients.reshape(R, S, 3), relaxed)
     return {
         "color": color,
         "global_color": global_color,
@@ -76,7 +77,9 @@ def render_core_color_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals,
         "mid_z_vals": mid_z_vals,
         "weights": weights,
         "cdf": prev_cdf.reshape(R, S),
-        "gradient_error": _eikonal_error(gradients.reshape(R, S, 3), relaxed),
+        "gradient_error": eik_num / (eik_den + 1e-5),
+        "eik_num": eik_num,
+        "eik_den": eik_den,
         "inside_sphere": inside,
         "delta_relight": delta_relight.reshape(R, S, 3),
     }

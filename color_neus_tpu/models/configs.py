@@ -84,6 +84,13 @@ class RendererConfig:
     mc_block: int = 64  # grid-eval block size for mesh extraction
     # fused Pallas SDF sweeps: auto | on | off | interpret (see ops/pallas)
     fused_sdf: str = "auto"
+    # render-core ray chunking with rematerialization: activation memory is
+    # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
+    # 0 disables. Essential for large ray batches / deep sample counts.
+    ray_chunk: int = 0
+    # MLP matmul compute dtype: "float32" (parity) or "bfloat16" (fast —
+    # params stay f32, accumulation stays f32)
+    compute_dtype: str = "float32"
     sdf: SDFConfig = field(default_factory=SDFConfig)
     color: ColorConfig = field(default_factory=ColorConfig)
     relight: RelightConfig = field(default_factory=RelightConfig)
@@ -117,6 +124,9 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         up_sample_steps=_lower_get(rcfg, "UP_SAMPLE_STEPS", 4),
         perturb=_lower_get(rcfg, "PERTURB", 1.0),
         mc_block=_lower_get(rcfg, "N", 64),
+        ray_chunk=_lower_get(rcfg, "RAY_CHUNK", 0),
+        fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
+        compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),
             d_out=_lower_get(sdf, "D_OUT", 257),

@@ -62,12 +62,35 @@ def make_linear(w: jnp.ndarray, b: jnp.ndarray, weight_norm: bool) -> dict:
     return {"v": w, "g": g, "b": b}
 
 
+import contextlib
+
+# Trace-time compute dtype for the MLP matmuls: params stay f32 (master
+# weights), inputs/weights are cast per-layer, accumulation is f32
+# (preferred_element_type). None = full f32. Set via compute_dtype().
+_COMPUTE_DTYPE = [None]
+
+
+@contextlib.contextmanager
+def compute_dtype(dtype):
+    """Context manager: run MLP matmuls in `dtype` (e.g. jnp.bfloat16)."""
+    _COMPUTE_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.pop()
+
+
 def linear_apply(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     if "v" in p:
         v = p["v"]
         w = v * (p["g"] / jnp.linalg.norm(v, axis=1).clip(1e-12))[:, None]
     else:
         w = p["w"]
+    dt = _COMPUTE_DTYPE[-1]
+    if dt is not None:
+        y = jnp.dot(x.astype(dt), w.T.astype(dt),
+                    preferred_element_type=jnp.float32)
+        return y + p["b"]
     return x @ w.T + p["b"]
 
 

@@ -115,14 +115,28 @@ def up_sample_z(rays_o, rays_d, z_vals, sdf, n_importance, inv_s):
 
 
 def merge_z_vals(z_vals, new_z, sdf, new_sdf):
-    """Sorted merge of (z, sdf) with (new_z, new_sdf) along samples (NeuS.py:183-197)."""
-    z = jnp.concatenate([z_vals, new_z], axis=-1)
-    order = jnp.argsort(z, axis=-1)
-    z = jnp.take_along_axis(z, order, axis=-1)
+    """Sorted merge of (z, sdf) with (new_z, new_sdf) along samples.
+
+    Both inputs are per-ray sorted (coarse z is monotone; det sample_pdf
+    output is monotone), so instead of a generic sort (NeuS.py:183-197
+    uses torch.sort) we compute merge ranks with one counting compare —
+    a [R, n, m] reduce on the VPU — and scatter. Ties keep old-before-new
+    order, matching a stable sort of concat([z, new_z])."""
+    R, n = z_vals.shape
+    m = new_z.shape[1]
+    # rank of each old z in the merged list: own index + #(new < it)
+    pos_a = jnp.arange(n)[None, :] + jnp.sum(
+        new_z[:, None, :] < z_vals[:, :, None], axis=-1)
+    # rank of each new z: own index + #(old <= it)
+    pos_b = jnp.arange(m)[None, :] + jnp.sum(
+        z_vals[:, :, None] <= new_z[:, None, :], axis=1)
+    rows = jnp.arange(R)[:, None]
+    z = jnp.zeros((R, n + m), z_vals.dtype)
+    z = z.at[rows, pos_a].set(z_vals).at[rows, pos_b].set(new_z)
     if sdf is None:
         return z, None
-    s = jnp.concatenate([sdf, new_sdf], axis=-1)
-    s = jnp.take_along_axis(s, order, axis=-1)
+    s = jnp.zeros((R, n + m), sdf.dtype)
+    s = s.at[rows, pos_a].set(sdf).at[rows, pos_b].set(new_sdf)
     return z, s
 
 
@@ -221,6 +235,12 @@ def _eikonal_error(gradients, relax_inside):
     return jnp.sum(relax_inside * err) / (jnp.sum(relax_inside) + 1e-5)
 
 
+def _eikonal_parts(gradients, relax_inside):
+    """(numerator, denominator) form — recombinable across ray chunks."""
+    err = (jnp.linalg.norm(gradients, axis=-1) - 1.0) ** 2
+    return jnp.sum(relax_inside * err), jnp.sum(relax_inside)
+
+
 def _blend_background(alpha, sampled_color, inside, background_alpha, background_sampled_color, S):
     alpha_in = alpha * inside + background_alpha[:, :S] * (1.0 - inside)
     alpha_full = jnp.concatenate([alpha_in, background_alpha[:, S:]], axis=-1)
@@ -259,6 +279,7 @@ def render_core_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals, sampl
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
+    eik_num, eik_den = _eikonal_parts(gradients.reshape(R, S, 3), relaxed)
     return {
         "color": color,
         "sdf": sdf,
@@ -268,7 +289,9 @@ def render_core_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals, sampl
         "mid_z_vals": mid_z_vals,
         "weights": weights,
         "cdf": prev_cdf.reshape(R, S),
-        "gradient_error": _eikonal_error(gradients.reshape(R, S, 3), relaxed),
+        "gradient_error": eik_num / (eik_den + 1e-5),
+        "eik_num": eik_num,
+        "eik_den": eik_den,
         "inside_sphere": inside,
     }
 
@@ -282,6 +305,21 @@ def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     weight_sum, weight_max, gradients, weights, gradient_error,
     inside_sphere, depth (+ global_color / delta_relight for color_neus).
     """
+    sample_dist = 2.0 / rcfg.n_samples
+    if rcfg.compute_dtype != "float32":
+        import contextlib
+        dtype_ctx = fields.compute_dtype(jnp.dtype(rcfg.compute_dtype))
+    else:
+        import contextlib
+        dtype_ctx = contextlib.nullcontext()
+    with dtype_ctx:
+        return _render_rays_inner(params, rcfg, rays_o, rays_d, near, far, key,
+                                  perturb_overwrite, background_rgb,
+                                  cos_anneal_ratio, sdf_fn)
+
+
+def _render_rays_inner(params, rcfg, rays_o, rays_d, near, far, key,
+                       perturb_overwrite, background_rgb, cos_anneal_ratio, sdf_fn):
     sample_dist = 2.0 / rcfg.n_samples
     if sdf_fn is None and rcfg.fused_sdf != "off" and rcfg.n_importance > 0:
         from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_fn
@@ -309,11 +347,53 @@ def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     else:
         core = render_core_neus
 
-    ret = core(params, rcfg, rays_o, rays_d, z_vals, sample_dist,
-               background_alpha=background_alpha,
-               background_sampled_color=background_sampled_color,
-               background_rgb=background_rgb,
-               cos_anneal_ratio=cos_anneal_ratio)
+    R = rays_o.shape[0]
+    if rcfg.ray_chunk > 0 and R > rcfg.ray_chunk and R % rcfg.ray_chunk == 0:
+        # Ray-chunked rematerialization: run the core per chunk under
+        # jax.checkpoint so backward recomputes chunk activations instead
+        # of holding O(R * S * width) buffers — the TPU analog of
+        # gradient checkpointing over the ray axis.
+        nc = R // rcfg.ray_chunk
+
+        def chunk_fn(args):
+            o, d, z, ba, bsc = args
+            return core(params, rcfg, o, d, z, sample_dist,
+                        background_alpha=ba, background_sampled_color=bsc,
+                        background_rgb=background_rgb,
+                        cos_anneal_ratio=cos_anneal_ratio)
+
+        def _split(x):
+            return None if x is None else x.reshape(nc, rcfg.ray_chunk, *x.shape[1:])
+
+        xs = (_split(rays_o), _split(rays_d), _split(z_vals),
+              _split(background_alpha), _split(background_sampled_color))
+        if background_alpha is None:
+            xs = xs[:3] + (jnp.zeros((nc, 1)), jnp.zeros((nc, 1)))
+
+            def chunk_fn(args):  # noqa: F811 — background-free variant
+                o, d, z, *_ = args
+                return core(params, rcfg, o, d, z, sample_dist,
+                            background_rgb=background_rgb,
+                            cos_anneal_ratio=cos_anneal_ratio)
+
+        outs = jax.lax.map(jax.checkpoint(chunk_fn), xs)
+        ret = {}
+        for k, v in outs.items():
+            if k in ("eik_num", "eik_den", "gradient_error"):
+                continue
+            if v.ndim >= 2 and v.shape[1] == rcfg.ray_chunk:
+                ret[k] = v.reshape(R, *v.shape[2:])
+            else:  # flat per-point arrays like sdf [chunk*S, 1]
+                ret[k] = v.reshape(v.shape[0] * v.shape[1], *v.shape[2:])
+        ret["eik_num"] = jnp.sum(outs["eik_num"])
+        ret["eik_den"] = jnp.sum(outs["eik_den"])
+        ret["gradient_error"] = ret["eik_num"] / (ret["eik_den"] + 1e-5)
+    else:
+        ret = core(params, rcfg, rays_o, rays_d, z_vals, sample_dist,
+                   background_alpha=background_alpha,
+                   background_sampled_color=background_sampled_color,
+                   background_rgb=background_rgb,
+                   cos_anneal_ratio=cos_anneal_ratio)
 
     weights = ret["weights"]
     out = {

@@ -284,6 +284,51 @@ def make_train_step(cfg: TrainerConfig, donate: bool = True):
     return jax.jit(wrapped, donate_argnums=(0,) if donate else ())
 
 
+def _full_data_step(cfg: TrainerConfig, n_imgs: int, b: int,
+                    state, scene, images, masks, base_key):
+    """One step over the full device-resident dataset: the image batch is
+    drawn inside the graph (randperm-prefix semantics like dtu.py:164-168)
+    and the PRNG key is folded from a constant base key + the in-state
+    step counter — no per-step host ops, fully resumable."""
+    key = jax.random.fold_in(base_key, state["step"])
+    k_ids, k_step = jax.random.split(key)
+    img_ids = jax.random.choice(k_ids, n_imgs, (b,), replace=False).astype(jnp.int32)
+    images_b = jnp.take(images, img_ids, axis=0)
+    masks_b = jnp.take(masks, img_ids, axis=0) if masks is not None else None
+    return train_step(state, scene, cfg, images_b, masks_b, img_ids, k_step)
+
+
+def make_train_step_full(cfg: TrainerConfig, n_imgs: int, batch_size: int,
+                         donate: bool = True):
+    b = min(batch_size, n_imgs)
+
+    def step(state, scene, images, masks, base_key):
+        return _full_data_step(cfg, n_imgs, b, state, scene, images, masks, base_key)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_multi_step(cfg: TrainerConfig, n_imgs: int, batch_size: int,
+                          k_steps: int, donate: bool = True):
+    """K optimization steps per dispatch via lax.scan.
+
+    One device dispatch per bundle amortizes host/tunnel launch latency
+    (measured ~30 ms/dispatch on the tunneled chip) across k_steps.
+    Returns (state, aux-of-last-step + 'loss_mean' over the bundle)."""
+    b = min(batch_size, n_imgs)
+
+    def multi(state, scene, images, masks, base_key):
+        def body(st, _):
+            st, aux = _full_data_step(cfg, n_imgs, b, st, scene, images, masks, base_key)
+            return st, aux
+        state, auxs = jax.lax.scan(body, state, None, length=k_steps)
+        aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
+        aux["loss_mean"] = jnp.mean(auxs["loss"])
+        return state, aux
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 # ---------------------------------------------------------------------------
 # Full-image rendering (validation / testing)
 # ---------------------------------------------------------------------------

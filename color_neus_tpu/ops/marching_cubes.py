@@ -124,14 +124,22 @@ def _slab_triangles(v0: np.ndarray, v1: np.ndarray, z0: int, res_xy, level: floa
     return ca.reshape(-1, 3), cb.reshape(-1, 3), a.reshape(-1), b.reshape(-1)
 
 
-def marching_cubes(u: np.ndarray, level: float = 0.0):
+def marching_cubes(u: np.ndarray, level: float = 0.0, backend: str = "auto"):
     """Extract the isosurface of u [RX, RY, RZ] at `level`.
 
     Returns (vertices [V, 3] in grid-index coordinates, triangles [T, 3]).
     "Inside" is u > level, matching mcubes.marching_cubes(u, 0) on the
     reference's u = -sdf grid (NeuS.py:35).
+
+    backend: 'auto' tries the native C++ extension (csrc/marching_tet.cpp,
+    same algorithm) and falls back to numpy; 'numpy' forces the fallback.
     """
     u = np.asarray(u)
+    if backend == "auto":
+        from color_neus_tpu.utils.native import marching_tet_native
+        out = marching_tet_native(u, level)
+        if out is not None:
+            return out
     RX, RY, RZ = u.shape
     all_ca, all_cb, all_va, all_vb = [], [], [], []
     for z0 in range(RZ - 1):

@@ -151,7 +151,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         assert key is not None, "stochastic sample_pdf needs a PRNG key"
         u = jax.random.uniform(key, (R, n_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    # searchsorted(right) as a counting reduction: TPU-friendly (one
+    # [R, M, K] compare + sum on the VPU) instead of a vmapped binary
+    # search that lowers to sequential dynamic slices.
+    inds = jnp.sum(cdf[:, :, None] <= u[:, None, :], axis=1).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, M - 1)
 

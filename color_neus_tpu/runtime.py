@@ -83,21 +83,30 @@ class TrainLoop:
             self.state, self.key = self.recorder.resume_checkpoint(self.state, self.key)
             logger.info("resumed at step %d", int(self.state["step"]))
 
-        self.step_fn = TR.make_train_step(self.tcfg)
+        # multi-device: install the ray-axis sharding so the jitted step
+        # partitions per-ray compute across the mesh (params replicated)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and self.tcfg.n_rays % n_dev == 0:
+            from color_neus_tpu.parallel import make_mesh, set_ray_sharding
+            set_ray_sharding(make_mesh())
+            logger.info("sharding rays over %d devices", n_dev)
+        # bundle LOG_INTERVAL steps per dispatch when the event intervals
+        # line up — one tunnel round-trip per log line instead of per step
+        log_int = max(self.cfg["TRAIN"].get("LOG_INTERVAL", 10), 1)
+        t = self.cfg["TRAIN"]
+        intervals = [t.get("SAVE_INTERVAL", 10000), t.get("VIZ_IMAGE_INTERVAL", 10000),
+                     t.get("VIZ_MESH_INTERVAL", 10000), t["ITERATIONS"]]
+        self.k_steps = log_int if all(i % log_int == 0 for i in intervals) else 1
+        if self.k_steps > 1:
+            self.step_fn = TR.make_train_multi_step(
+                self.tcfg, self.n_imgs, self.cfg["TRAIN"]["BATCH_SIZE"], self.k_steps)
+        else:
+            self.step_fn = TR.make_train_step_full(
+                self.tcfg, self.n_imgs, self.cfg["TRAIN"]["BATCH_SIZE"])
         self._chunk_fn = None
 
     # ------------------------------------------------------------------
-    def _sample_image_batch(self, key):
-        """Pick BATCH_SIZE random images (host-side randperm,
-        dtu.py:164-175 semantics) and gather them on device."""
-        b = min(self.cfg["TRAIN"]["BATCH_SIZE"], self.n_imgs)
-        idx = jax.random.permutation(key, self.n_imgs)[:b]
-        images = jnp.take(self.images, idx, axis=0)
-        masks = jnp.take(self.masks, idx, axis=0) if self.masks is not None else None
-        return images, masks, idx.astype(jnp.int32)
-
-    # ------------------------------------------------------------------
-    def run(self):
+    def run(self, profile_dir: str | None = None):
         t = self.cfg["TRAIN"]
         iterations = t["ITERATIONS"]
         log_int = t.get("LOG_INTERVAL", 10)
@@ -106,17 +115,27 @@ class TrainLoop:
         viz_mesh_int = t.get("VIZ_MESH_INTERVAL", 10000)
 
         start = int(self.state["step"])
-        logger.info("training %s: steps %d..%d", self.exp_id, start, iterations)
+        logger.info("training %s: steps %d..%d (%d steps/dispatch)",
+                    self.exp_id, start, iterations, self.k_steps)
         t0 = time.time()
         rays_done = 0
-        for step in range(start, iterations):
-            self.key, k_batch, k_step = jax.random.split(self.key, 3)
-            images, masks, img_ids = self._sample_image_batch(k_batch)
-            self.state, aux = self.step_fn(self.state, self.scene, images, masks,
-                                           img_ids, k_step)
-            rays_done += self.tcfg.n_rays
+        # one constant base key for the whole run; the jitted step folds in
+        # the step counter — the loop below issues no per-step host ops
+        self.key, base_key = jax.random.split(self.key)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        step = start
+        while step < iterations:
+            self.state, aux = self.step_fn(self.state, self.scene, self.images,
+                                           self.masks, base_key)
+            step += self.k_steps
+            rays_done += self.tcfg.n_rays * self.k_steps
+            if profile_dir and step - start >= 2 * self.k_steps:
+                jax.profiler.stop_trace()
+                logger.info("profile trace written to %s", profile_dir)
+                profile_dir = None
 
-            if step % log_int == 0:
+            if step % log_int == 0 or step >= iterations:
                 aux_np = {k: float(v) for k, v in aux.items()}
                 self.loss_metric.feed(aux_np, 1)
                 for k, v in aux_np.items():
@@ -126,17 +145,16 @@ class TrainLoop:
                             step, aux_np["loss"], aux_np["psnr"],
                             rays_done / max(dt, 1e-9))
 
-            if (step + 1) % save_int == 0 or step + 1 == iterations:
+            if step % save_int == 0 or step >= iterations:
                 self.recorder.record_checkpoint(self.state, self.key)
                 self.recorder.record_loss(self.loss_metric, step, comment="train-")
                 self.loss_metric.reset()
 
-            if (step + 1) % viz_img_int == 0:
+            if step % viz_img_int == 0 and step < iterations:
                 self.validate_image(step)
-            if (step + 1) % viz_mesh_int == 0:
+            if step % viz_mesh_int == 0 and step < iterations:
                 self.validate_mesh(step, resolution=512)
 
-        self.recorder.record_checkpoint(self.state, self.key)
         self.writer.flush()
         logger.info("training done.")
 

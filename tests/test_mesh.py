@@ -103,3 +103,30 @@ def test_ply_roundtrip(tmp_path):
     v3, t3, c3 = mesh_ops.read_ply(p2)
     np.testing.assert_allclose(v3, verts, atol=1e-6)
     assert c3 is None
+
+
+def test_native_marching_tet_matches_numpy():
+    """The C++ extension and the numpy oracle implement the same
+    algorithm — identical triangle soup up to vertex ordering."""
+    from color_neus_tpu.utils.native import marching_tet_native
+    u = _sphere_grid(24, 0.55)
+    out = marching_tet_native(u, 0.0)
+    assert out is not None, "native build failed (g++ unavailable?)"
+    v_n, t_n = out
+    v_p, t_p = marching_cubes(u, 0.0, backend="numpy")
+    assert len(v_n) == len(v_p) and len(t_n) == len(t_p)
+    # same vertex sets (order-insensitive)
+    sn = np.asarray(sorted(map(tuple, np.round(v_n, 5))))
+    sp = np.asarray(sorted(map(tuple, np.round(v_p, 5))))
+    np.testing.assert_allclose(sn, sp, atol=1e-4)
+    # same surface: equal area (a handful of triangles may legitimately
+    # tessellate degenerate configurations differently)
+    def area(v, t):
+        a, b, c = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+        return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+    np.testing.assert_allclose(area(v_n, t_n), area(v_p, t_p), rtol=1e-3)
+    # native mesh is watertight too
+    edges = np.sort(np.concatenate([t_n[:, [0, 1]], t_n[:, [1, 2]], t_n[:, [2, 0]]]), axis=1)
+    keys = edges[:, 0] * len(v_n) + edges[:, 1]
+    _, counts = np.unique(keys, return_counts=True)
+    assert (counts == 2).all()

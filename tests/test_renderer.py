@@ -147,3 +147,20 @@ def test_perturb_overwrite_deterministic(key):
     z1 = hierarchical_z_vals(params, TINY_NEUS, o, d, near, far, key=None, perturb_overwrite=0.0)
     z2 = hierarchical_z_vals(params, TINY_NEUS, o, d, near, far, key=None, perturb_overwrite=0.0)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+
+def test_bf16_compute_mode(key):
+    """bfloat16 compute must run and roughly agree with f32 (loose tol)."""
+    import dataclasses
+    cfg16 = dataclasses.replace(TINY_COLOR, compute_dtype="bfloat16")
+    params = init_renderer(key, TINY_COLOR)
+    o, d, near, far = _rays(4)
+    out32 = render_rays(params, TINY_COLOR, o, d, near, far, perturb_overwrite=0.0)
+    out16 = render_rays(params, cfg16, o, d, near, far, perturb_overwrite=0.0)
+    assert out16["color_fine"].dtype == jnp.float32  # f32 accumulation
+    np.testing.assert_allclose(np.asarray(out16["color_fine"]),
+                               np.asarray(out32["color_fine"]), atol=0.1)
+    # gradients still flow
+    g = jax.grad(lambda p: float(0) + jnp.mean(
+        render_rays(p, cfg16, o, d, near, far, perturb_overwrite=0.0)["color_fine"]))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))

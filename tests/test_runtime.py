@@ -1,0 +1,102 @@
+"""End-to-end TrainLoop tests on CPU: train, validate, checkpoint, resume."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from color_neus_tpu.utils.config import Config
+from color_neus_tpu.runtime import TrainLoop
+
+
+def tiny_cfg(tmp_path, iterations=6):
+    return Config.wrap({
+        "DATASET": {"TYPE": "Synthetic", "N_IMGS": 4, "H": 12, "W": 12},
+        "DATA_PRESET": {"INCLUDE_MASK": True},
+        "MODEL": {
+            "TYPE": "NeuS_Trainer", "PRETRAINED": None,
+            "N_RAYS": 64, "EVAL_RAY_SIZE": 72,
+            "NORMALIZE_DIR": True, "FOCAL_ORDER": 2,
+            "LEARN_FOCAL": False, "LEARN_R": False, "LEARN_T": False,
+            "MASK_RATE": [0.5, 0.8], "POSE_MODE": "6d",
+            "RENDERER": {
+                "TYPE": "Color_NeuS", "N_SAMPLES": 8, "N_IMPORTANCE": 4,
+                "UP_SAMPLE_STEPS": 2, "PERTURB": 1.0, "FUSED_SDF": "off",
+                "SDF": {"D_HIDDEN": 32, "N_LAYERS": 2, "SKIP_IN": [],
+                        "MULTIRES": 2, "D_OUT": 257},
+                "COLOR": {"MODE": "no_view_dir", "D_IN": 6, "D_HIDDEN": 32,
+                          "N_LAYERS": 1, "MULTIRES_VIEW": 0, "D_FEATURE": 256},
+                "RELIGHT": {"D_HIDDEN": 16, "N_LAYERS": 4, "Y_IN_LAYER": 3},
+                "DEVIATION": {"INIT_VAL": 0.3},
+            },
+            "LOSS": {"RGB_LOSS_TYPE": "mse", "LAMBDA_FINE": 1.0,
+                     "LAMBDA_EIKONAL": 0.1, "LAMBDA_MASK": 0.1,
+                     "LAMBDA_RELIGHT": 1.0},
+        },
+        "TRAIN": {
+            "BATCH_SIZE": 2, "ITERATIONS": iterations,
+            "OPTIMIZE": {"TYPE": "adam", "LR": 5e-4, "SCHEDULER_TYPE": "NEUS",
+                         "WARM_UP": 2, "LR_ALPHA": 0.05},
+            "LOG_INTERVAL": 2, "SAVE_INTERVAL": 3,
+            "VIZ_IMAGE_INTERVAL": 1000, "VIZ_MESH_INTERVAL": 1000,
+            "MANUAL_SEED": 1, "CONV_REPEATABLE": True,
+            "GRAD_CLIP_ENABLED": True, "GRAD_CLIP": {"TYPE": 2, "NORM": 1.0},
+        },
+    })
+
+
+@pytest.fixture
+def loop(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return TrainLoop(tiny_cfg(tmp_path), exp_id="t")
+
+
+def test_train_loop_runs_and_checkpoints(loop):
+    loop.run()
+    assert os.path.isfile(loop.recorder.ckpt_path())
+    assert int(loop.state["step"]) == 6
+    # scalars were written
+    jsonl = os.path.join(loop.recorder.exp_path, "tensorboard", "scalars.jsonl")
+    assert os.path.getsize(jsonl) > 0
+
+
+def test_resume_continues(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, iterations=4)
+    loop1 = TrainLoop(cfg, exp_id="t")
+    loop1.run()
+    exp_path = loop1.recorder.exp_path
+    cfg2 = tiny_cfg(tmp_path, iterations=8)
+    loop2 = TrainLoop(cfg2, exp_id="t", resume=exp_path)
+    assert int(loop2.state["step"]) == 4
+    loop2.run()
+    assert int(loop2.state["step"]) == 8
+
+
+def test_validate_image_and_mesh(loop):
+    loop.validate_image(0)
+    imgs = glob.glob(os.path.join(loop.recorder.viz_image_dir, "*.png"))
+    assert len(imgs) == 1
+    out = loop.validate_mesh(0, resolution=24)
+    # at geometric init the sphere exists -> mesh non-empty
+    assert out is not None
+    verts, tris, colors = out
+    assert len(verts) > 0 and len(colors) == len(verts)
+    plys = glob.glob(os.path.join(loop.recorder.mesh_dir, "*.ply"))
+    assert len(plys) == 2
+
+
+def test_pretrained_reload(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, iterations=3)
+    loop1 = TrainLoop(cfg, exp_id="t")
+    loop1.run()
+    ckpt = loop1.recorder.ckpt_path()
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2["MODEL"]["PRETRAINED"] = ckpt
+    loop2 = TrainLoop(cfg2, exp_id="t2")
+    assert int(loop2.state["step"]) == 3
+    v1 = np.asarray(loop1.state["params"]["renderer"]["variance"]["variance"])
+    v2 = np.asarray(loop2.state["params"]["renderer"]["variance"]["variance"])
+    np.testing.assert_array_equal(v1, v2)

@@ -140,3 +140,24 @@ def test_render_image_shapes():
                                  jax.random.PRNGKey(4))
     assert rgb.shape == (16, 16, 3) and depth.shape == (16, 16)
     assert np.isfinite(rgb).all() and np.isfinite(depth).all()
+
+
+def test_multi_step_matches_sequential():
+    """K scanned steps must equal K sequential full-data steps exactly."""
+    cfg, state, scene, images, masks = _setup()
+    import copy
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    base_key = jax.random.PRNGKey(9)
+
+    single = TR.make_train_step_full(cfg, 4, 4, donate=False)
+    multi = TR.make_train_multi_step(cfg, 4, 4, 3, donate=False)
+
+    for _ in range(3):
+        state, aux_s = single(state, scene, images, masks, base_key)
+    state2, aux_m = multi(state2, scene, images, masks, base_key)
+
+    assert int(state["step"]) == int(state2["step"]) == 3
+    np.testing.assert_allclose(float(aux_s["loss"]), float(aux_m["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
+                    jax.tree_util.tree_leaves(state2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

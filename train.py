@@ -34,6 +34,11 @@ def parse_args():
     p.add_argument("--iterations", type=int, default=None,
                    help="override TRAIN.ITERATIONS (for smoke runs)")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of ~12 steps to this dir")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator/rank from env, the standard JAX way)")
     return p.parse_args()
 
 
@@ -59,9 +64,13 @@ def main():
     if arg.data_root is not None:
         cfg["DATASET"]["DATA_ROOT"] = arg.data_root
 
+    if arg.distributed:
+        jax.distributed.initialize()
+        logger.info("distributed: process %d/%d", jax.process_index(),
+                    jax.process_count())
     logger.info("devices: %s", jax.devices())
     loop = TrainLoop(cfg, exp_id=arg.exp_id, resume=arg.resume, snapshot=arg.snapshot)
-    loop.run()
+    loop.run(profile_dir=arg.profile)
 
 
 if __name__ == "__main__":
