@@ -145,3 +145,54 @@ def normalize_point_cloud(pts: np.ndarray) -> np.ndarray:
     pts = pts - center
     scale = np.abs(pts).max()
     return pts / max(scale, 1e-12)
+
+
+def write_glb(path: str, vertices: np.ndarray, triangles: np.ndarray,
+              vertex_colors: np.ndarray | None = None):
+    """Minimal binary glTF 2.0 export (replaces the reference's aspose-3d
+    ply->glb conversion, mesh_tools.py capability)."""
+    import json
+    import struct
+
+    v = np.asarray(vertices, np.float32)
+    t = np.asarray(triangles, np.uint32).reshape(-1)
+    buffers = [v.tobytes(), t.tobytes()]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": len(v), "type": "VEC3",
+         "min": v.min(0).tolist(), "max": v.max(0).tolist()},
+        {"bufferView": 1, "componentType": 5125, "count": len(t), "type": "SCALAR"},
+    ]
+    attributes = {"POSITION": 0}
+    if vertex_colors is not None:
+        c = np.clip(np.asarray(vertex_colors, np.float32), 0, 1)
+        buffers.append(c.tobytes())
+        accessors.append({"bufferView": 2, "componentType": 5126,
+                          "count": len(c), "type": "VEC3"})
+        attributes["COLOR_0"] = 2
+
+    views, offset = [], 0
+    for b in buffers:
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(b)})
+        offset += len(b) + (-len(b)) % 4
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "color_neus_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": attributes, "indices": 1}]}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "buffers": [{"byteLength": offset}],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    bin_chunk = b"".join(b + b"\x00" * ((-len(b)) % 4) for b in buffers)
+
+    with open(path, "wb") as f:
+        total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))  # JSON chunk
+        f.write(js)
+        f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))  # BIN chunk
+        f.write(bin_chunk)

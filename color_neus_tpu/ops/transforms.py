@@ -153,6 +153,109 @@ def load_K_Rt_from_P(P: np.ndarray):
     return intrinsics, pose
 
 
+# ---------------------------------------------------------------------------
+# More rotation representations (completing the reference's conversion set,
+# transform.py:60-276) — jit/grad-safe jax versions.
+# ---------------------------------------------------------------------------
+
+def rotmat_to_aa(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix [..., 3, 3] -> axis-angle [..., 3] (via quaternion,
+    matching the reference's matrix_to_quaternion -> quaternion_to_axis_angle
+    composition, transform.py:77-92). Batched and jit-safe; exact for
+    theta in [0, pi)."""
+    # Shepperd's method, branch-free: build all four candidate columns and
+    # pick the numerically best by largest pivot.
+    m = R
+    t = jnp.trace(m, axis1=-2, axis2=-1)
+    qs = jnp.stack([
+        jnp.stack([1.0 + t,
+                   m[..., 2, 1] - m[..., 1, 2],
+                   m[..., 0, 2] - m[..., 2, 0],
+                   m[..., 1, 0] - m[..., 0, 1]], axis=-1),
+        jnp.stack([m[..., 2, 1] - m[..., 1, 2],
+                   1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2],
+                   m[..., 0, 1] + m[..., 1, 0],
+                   m[..., 0, 2] + m[..., 2, 0]], axis=-1),
+        jnp.stack([m[..., 0, 2] - m[..., 2, 0],
+                   m[..., 0, 1] + m[..., 1, 0],
+                   1.0 + m[..., 1, 1] - m[..., 0, 0] - m[..., 2, 2],
+                   m[..., 1, 2] + m[..., 2, 1]], axis=-1),
+        jnp.stack([m[..., 1, 0] - m[..., 0, 1],
+                   m[..., 0, 2] + m[..., 2, 0],
+                   m[..., 1, 2] + m[..., 2, 1],
+                   1.0 + m[..., 2, 2] - m[..., 0, 0] - m[..., 1, 1]], axis=-1),
+    ], axis=-2)  # [..., 4 candidates, 4]
+    pivots = jnp.stack([1.0 + t,
+                        1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2],
+                        1.0 + m[..., 1, 1] - m[..., 0, 0] - m[..., 2, 2],
+                        1.0 + m[..., 2, 2] - m[..., 0, 0] - m[..., 1, 1]], axis=-1)
+    best = jnp.argmax(pivots, axis=-1)
+    q = jnp.take_along_axis(qs, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    return quat_to_aa(q)
+
+
+def aa_to_quat(aa: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle [..., 3] -> quaternion (w, x, y, z) [..., 4]."""
+    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    half = theta * 0.5
+    small = theta < 1e-6
+    k = jnp.where(small, 0.5 - theta ** 2 / 48.0, jnp.sin(half) / jnp.maximum(theta, 1e-12))
+    return jnp.concatenate([jnp.cos(half), aa * k], axis=-1)
+
+
+def quat_to_aa(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (w, x, y, z) [..., 4] -> axis-angle [..., 3]."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+    # canonicalize to w >= 0 (shortest rotation)
+    q = jnp.where(q[..., :1] < 0, -q, q)
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    theta = 2.0 * jnp.arccos(w)
+    s = jnp.sqrt(jnp.maximum(1.0 - w * w, 1e-12))
+    small = theta < 1e-6
+    k = jnp.where(small, 2.0 + theta ** 2 / 12.0, theta / s)
+    return q[..., 1:] * k
+
+
+def rotmat_to_rot6d(R: jnp.ndarray) -> jnp.ndarray:
+    """Matrix [..., 3, 3] -> 6D rep (first two rows, pytorch3d convention)."""
+    return R[..., :2, :].reshape(*R.shape[:-2], 6)
+
+
+def slerp(q0: jnp.ndarray, q1: jnp.ndarray, ratio) -> jnp.ndarray:
+    """Quaternion slerp (transform.py:347-370 semantics), jit-safe."""
+    q0 = q0 / jnp.linalg.norm(q0).clip(1e-12)
+    q1 = q1 / jnp.linalg.norm(q1).clip(1e-12)
+    dot = jnp.sum(q0 * q1)
+    q0 = jnp.where(dot < 0, -q0, q0)
+    dot = jnp.abs(dot)
+
+    # nearly-parallel: lerp; else geodesic
+    theta0 = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    theta = theta0 * ratio
+    q_perp = q1 - dot * q0
+    q_perp = q_perp / jnp.linalg.norm(q_perp).clip(1e-12)
+    geo = jnp.cos(theta) * q0 + jnp.sin(theta) * q_perp
+    lerp = q0 + ratio * (q1 - q0)
+    out = jnp.where(dot > 0.9995, lerp, geo)
+    return out / jnp.linalg.norm(out).clip(1e-12)
+
+
+def rotmat_interpolate(R0: np.ndarray, R1: np.ndarray, ratio: float) -> np.ndarray:
+    q_new = slerp(jnp.asarray(rotmat_to_quat(np.asarray(R0)), jnp.float32),
+                  jnp.asarray(rotmat_to_quat(np.asarray(R1)), jnp.float32), ratio)
+    return np.asarray(quat_to_rotmat(q_new))
+
+
+def se3_interpolate(T0: np.ndarray, T1: np.ndarray, ratio: float) -> np.ndarray:
+    """Pose interpolation: slerp rotation + lerp translation (transform.py:373-384)."""
+    T0 = np.asarray(T0)
+    T1 = np.asarray(T1)
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = rotmat_interpolate(T0[:3, :3], T1[:3, :3], ratio)
+    out[:3, 3] = T0[:3, 3] + ratio * (T1[:3, 3] - T0[:3, 3])
+    return out
+
+
 def pose_spherical(theta: float, phi: float, radius: float) -> np.ndarray:
     """Blender-style spherical camera pose (transform.py:323-337 semantics)."""
     c2w = np.eye(4, dtype=np.float32)

@@ -145,6 +145,19 @@ class TrainLoop:
                             step, aux_np["loss"], aux_np["psnr"],
                             rays_done / max(dt, 1e-9))
 
+            # camera-pose plots when poses are being refined
+            # (NeuS_Trainer.py:202-207 cadence: every 50 log intervals)
+            cam = self.tcfg.camera
+            if (cam.learn_r or cam.learn_t) and step % (log_int * 50) == 0:
+                from color_neus_tpu.utils.viztools import plot_camera_scene, plot_cameras_track
+                from color_neus_tpu.models.camera import pose_apply
+                c2ws = np.asarray(pose_apply(self.state["params"]["pose"], cam,
+                                             self.scene["init_c2w"],
+                                             jnp.arange(self.n_imgs)))
+                self.writer.add_image("poses", plot_camera_scene(
+                    c2ws, float(self.scene["radius"]), f"step_{step}"), step)
+                self.writer.add_image("poses_track", plot_cameras_track(c2ws), step)
+
             if step % save_int == 0 or step >= iterations:
                 self.recorder.record_checkpoint(self.state, self.key)
                 self.recorder.record_loss(self.loss_metric, step, comment="train-")

@@ -164,3 +164,25 @@ def chamfer_distance(pts_a, pts_b) -> float:
     a = jnp.asarray(pts_a, jnp.float32)
     b = jnp.asarray(pts_b, jnp.float32)
     return float(jnp.mean(_nn_sq_dists(a, b)) + jnp.mean(_nn_sq_dists(b, a)))
+
+
+class LPIPS:
+    """Stub matching the reference's LPIPS (similarity.py:84-88: always 0).
+    A real perceptual metric would need pretrained VGG weights, which this
+    environment cannot download."""
+
+    def __init__(self):
+        self.meter = AverageMeter()
+
+    def feed(self, pred, target):
+        self.meter.update(0.0)
+
+    @property
+    def avg(self):
+        return self.meter.avg
+
+    def reset(self):
+        self.meter.reset()
+
+    def __str__(self):
+        return f"LPIPS: {self.avg:.4f}"

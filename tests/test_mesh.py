@@ -130,3 +130,24 @@ def test_native_marching_tet_matches_numpy():
     keys = edges[:, 0] * len(v_n) + edges[:, 1]
     _, counts = np.unique(keys, return_counts=True)
     assert (counts == 2).all()
+
+
+def test_glb_export(tmp_path):
+    """GLB must be a structurally valid binary glTF container."""
+    import json, struct
+    verts = np.random.RandomState(1).rand(20, 3).astype(np.float32)
+    tris = np.random.RandomState(2).randint(0, 20, (10, 3))
+    colors = np.random.RandomState(3).rand(20, 3).astype(np.float32)
+    p = os.path.join(tmp_path, "m.glb")
+    mesh_ops.write_glb(p, verts, tris, colors)
+    with open(p, "rb") as f:
+        magic, version, total = struct.unpack("<III", f.read(12))
+        assert magic == 0x46546C67 and version == 2
+        assert total == os.path.getsize(p)
+        jlen, jtype = struct.unpack("<II", f.read(8))
+        assert jtype == 0x4E4F534A
+        gltf = json.loads(f.read(jlen))
+        assert gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"] == 0
+        assert "COLOR_0" in gltf["meshes"][0]["primitives"][0]["attributes"]
+        assert gltf["accessors"][0]["count"] == 20
+        assert gltf["accessors"][1]["count"] == 30

@@ -203,3 +203,63 @@ def test_sample_pixels_uniform_quirk(key):
     assert int(jnp.max(cam)) == 0
     cam2, _, _ = R.sample_pixels_uniform(key, 8, 4, 4, 128, first_image_only=False)
     assert int(jnp.max(cam2)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Extended rotation conversions and pose interpolation
+# ---------------------------------------------------------------------------
+
+def test_rotmat_aa_roundtrip():
+    rng = np.random.RandomState(11)
+    aa = jnp.asarray(rng.randn(12, 3) * 1.2, jnp.float32)
+    back = T.rotmat_to_aa(T.aa_to_rotmat(aa))
+    # axis-angle is multivalued beyond |aa| = pi: compare as rotations
+    np.testing.assert_allclose(np.asarray(T.aa_to_rotmat(back)),
+                               np.asarray(T.aa_to_rotmat(aa)), atol=1e-4)
+    # values themselves match within the principal branch
+    small = jnp.asarray(rng.randn(8, 3) * 0.8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(T.rotmat_to_aa(T.aa_to_rotmat(small))),
+                               np.asarray(small), atol=1e-4)
+    # zero rotation
+    np.testing.assert_allclose(np.asarray(T.rotmat_to_aa(jnp.eye(3))), 0.0, atol=1e-6)
+
+
+def test_aa_quat_roundtrip():
+    rng = np.random.RandomState(12)
+    aa = jnp.asarray(rng.randn(10, 3), jnp.float32)
+    q = T.aa_to_quat(aa)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0, atol=1e-5)
+    back = T.quat_to_aa(q)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(aa), atol=1e-4)
+    # quat path consistent with matrix path
+    np.testing.assert_allclose(np.asarray(T.quat_to_rotmat(q)),
+                               np.asarray(T.aa_to_rotmat(aa)), atol=1e-5)
+
+
+def test_rot6d_roundtrip():
+    rng = np.random.RandomState(13)
+    aa = jnp.asarray(rng.randn(6, 3), jnp.float32)
+    R = T.aa_to_rotmat(aa)
+    np.testing.assert_allclose(np.asarray(T.rot6d_to_rotmat(T.rotmat_to_rot6d(R))),
+                               np.asarray(R), atol=1e-5)
+
+
+def test_slerp_endpoints_and_midpoint():
+    q0 = jnp.asarray([1.0, 0, 0, 0])
+    q1 = T.aa_to_quat(jnp.asarray([0.0, 0.0, np.pi / 2]))
+    np.testing.assert_allclose(np.asarray(T.slerp(q0, q1, 0.0)), np.asarray(q0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T.slerp(q0, q1, 1.0)), np.asarray(q1), atol=1e-5)
+    mid = T.slerp(q0, q1, 0.5)
+    expect = T.aa_to_quat(jnp.asarray([0.0, 0.0, np.pi / 4]))
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(expect), atol=1e-5)
+
+
+def test_se3_interpolate():
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, :3] = np.asarray(T.aa_to_rotmat(jnp.asarray([0.0, 0.0, np.pi / 2])))
+    T1[:3, 3] = [2, 0, 0]
+    Tm = T.se3_interpolate(T0, T1, 0.5)
+    np.testing.assert_allclose(Tm[:3, 3], [1, 0, 0], atol=1e-6)
+    expect_R = np.asarray(T.aa_to_rotmat(jnp.asarray([0.0, 0.0, np.pi / 4])))
+    np.testing.assert_allclose(Tm[:3, :3], expect_R, atol=1e-5)

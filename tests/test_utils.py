@@ -164,3 +164,19 @@ def test_recorder_checkpoint_and_resume(tmp_path, key):
     # snapshot copy exists (snapshot=1 -> every save)
     snaps = [f for f in os.listdir(rec.ckpt_dir) if f.startswith("state_")]
     assert len(snaps) == 1
+
+
+def test_viztools_plots():
+    from color_neus_tpu.utils.viztools import plot_camera_scene, plot_cameras_track
+    from color_neus_tpu.ops.transforms import pose_spherical
+    c2ws = np.stack([pose_spherical(45.0 * i, -30.0, 3.0) for i in range(8)])
+    img = plot_camera_scene(c2ws, 1.0, "test")
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    img2 = plot_cameras_track(c2ws)
+    assert img2.ndim == 3 and img2.shape[2] == 3
+
+
+def test_lpips_stub():
+    m = M.LPIPS()
+    m.feed(np.zeros((4, 4, 3)), np.ones((4, 4, 3)))
+    assert m.avg == 0.0
