@@ -32,11 +32,9 @@ def render_core_color_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals,
     R, S = z_vals.shape
     dists, mid_z_vals, pts, dirs = _sample_points(rays_o, rays_d, z_vals, sample_dist)
 
-    sdf, feature, gradients = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
-    global_color_pt = fields.color_apply(
-        params["color"], rcfg.color, pts, gradients, dirs, feature)  # [R*S, 3]
-    relit_pt, delta_relight = fields.relight_apply(
-        params["relight"], rcfg.relight, global_color_pt, pts, dirs, gradients)
+    from color_neus_tpu.models.neus import eval_point_pipeline
+    sdf, gradients, global_color_pt, relit_pt, delta_relight = \
+        eval_point_pipeline(params, rcfg, pts, dirs)
     sampled_color = relit_pt.reshape(R, S, 3)
 
     inv_s = fields.variance_inv_s(params["variance"])

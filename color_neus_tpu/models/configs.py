@@ -84,6 +84,11 @@ class RendererConfig:
     mc_block: int = 64  # grid-eval block size for mesh extraction
     # fused Pallas SDF sweeps: auto | on | off | interpret (see ops/pallas)
     fused_sdf: str = "auto"
+    # fused per-point pipeline (sdf+grad+color+relight in one kernel with
+    # custom VJP): auto | on | off | interpret
+    fused_core: str = "auto"
+    # point-tile size for the fused pipeline kernels
+    fused_tile: int = 256
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -126,6 +131,8 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         mc_block=_lower_get(rcfg, "N", 64),
         ray_chunk=_lower_get(rcfg, "RAY_CHUNK", 0),
         fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
+        fused_core=_lower_get(rcfg, "FUSED_CORE", "auto"),
+        fused_tile=_lower_get(rcfg, "FUSED_TILE", 256),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -214,6 +214,36 @@ def render_core_outside(params, rcfg: RendererConfig, rays_o, rays_d, z_vals,
 # Render cores
 # ---------------------------------------------------------------------------
 
+def _use_fused_core(rcfg: RendererConfig) -> bool:
+    if rcfg.fused_core == "off":
+        return False
+    if rcfg.fused_core in ("on", "interpret"):
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def eval_point_pipeline(params, rcfg: RendererConfig, pts, dirs):
+    """(sdf [N,1], grad [N,3], gc [N,3], relit [N,3], delta [N,3]) via the
+    fused Pallas pipeline when enabled, else the fields-based XLA path."""
+    if _use_fused_core(rcfg):
+        from color_neus_tpu.ops.pallas.point_pipeline import (
+            resolve_dense, fused_point_pipeline)
+        dense = resolve_dense(params, rcfg)
+        return fused_point_pipeline(dense, rcfg, pts, dirs, tile=rcfg.fused_tile,
+                                    interpret=(rcfg.fused_core == "interpret"))
+    sdf, feature, gradients = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
+    color = fields.color_apply(params["color"], rcfg.color, pts, gradients,
+                               dirs, feature)
+    if rcfg.kind == "color_neus":
+        relit, delta = fields.relight_apply(params["relight"], rcfg.relight,
+                                            color, pts, dirs, gradients)
+        return sdf, gradients, color, relit, delta
+    return sdf, gradients, color, color, jnp.zeros_like(color)
+
+
 def _sample_points(rays_o, rays_d, z_vals, sample_dist):
     dists, mid_z_vals = section_dists(z_vals, sample_dist)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., None]
@@ -257,9 +287,8 @@ def render_core_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals, sampl
     R, S = z_vals.shape
     dists, mid_z_vals, pts, dirs = _sample_points(rays_o, rays_d, z_vals, sample_dist)
 
-    sdf, feature, gradients = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
-    sampled_color = fields.color_apply(
-        params["color"], rcfg.color, pts, gradients, dirs, feature).reshape(R, S, 3)
+    sdf, gradients, color_pt, _, _ = eval_point_pipeline(params, rcfg, pts, dirs)
+    sampled_color = color_pt.reshape(R, S, 3)
 
     inv_s = fields.variance_inv_s(params["variance"])
     true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
