@@ -36,7 +36,9 @@ def main():
     n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 2048))
     iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
 
-    ray_chunk = int(__import__("os").environ.get("BENCH_RAY_CHUNK", 256))
+    # fused kernels keep activations in VMEM, so remat chunking is pure
+    # overhead at this size — unchunked by default
+    ray_chunk = int(__import__("os").environ.get("BENCH_RAY_CHUNK", 0))
     rcfg = RendererConfig(
         kind="color_neus",
         n_samples=256, n_importance=256, up_sample_steps=4,

@@ -77,6 +77,9 @@ def trainer_config_from_cfg(cfg: dict, H: int, W: int, n_cams: int) -> TrainerCo
         opengl=dp.get("OPENGL_SYS", False),
         include_mask=include_mask,
         mask_rate=tuple(m.get("MASK_RATE", (0.5, 0.8))) if include_mask else None,
+        # replicate the reference's maskless-path quirk on request
+        # (rays only from image 0, SURVEY §3.6 / ray_utils.py:57-59)
+        first_image_only_quirk=dp.get("FIRST_IMAGE_ONLY_QUIRK", False),
         lambda_fine=loss.get("LAMBDA_FINE", 1.0),
         lambda_eikonal=loss.get("LAMBDA_EIKONAL", 0.1),
         lambda_mask=loss.get("LAMBDA_MASK", 0.0),

@@ -555,6 +555,7 @@ def _fwd_kernel_entry(meta, T, bf16, *refs):
 # pure-XLA oracle in interpret mode.
 
 _BWD_STORE = [jnp.bfloat16]
+_BWD_TILE = [128]
 
 
 def _dsoftplus100(a):
@@ -896,7 +897,7 @@ def _pipeline_core_bwd(meta, T, interpret, res, gbar):
     ws, bs, emb, tang, dc, dr = res
     # the bwd kernel stores per-layer activations in VMEM — use a smaller
     # tile than the (storage-free) forward so the working set fits
-    T_bwd = math.gcd(T, 64)
+    T_bwd = math.gcd(T, _BWD_TILE[0])
     emb_hat, tang_hat, dc_hat, dr_hat, w_hats, b_hats = _pallas_bwd_call(
         meta, T_bwd, interpret, ws, bs, emb, tang, dc, dr, gbar)
     return tuple(w_hats), tuple(b_hats), emb_hat, tang_hat, dc_hat, dr_hat

@@ -124,12 +124,23 @@ class TrainLoop:
         self.key, base_key = jax.random.split(self.key)
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
+        # progress bar (etqdm parity: rank 0 only, silent when not a tty)
+        pbar = None
+        try:
+            import sys as _sys
+            if _sys.stderr.isatty() and jax.process_index() == 0:
+                from tqdm import tqdm
+                pbar = tqdm(total=iterations, initial=start, unit="step")
+        except Exception:
+            pbar = None
         step = start
         while step < iterations:
             self.state, aux = self.step_fn(self.state, self.scene, self.images,
                                            self.masks, base_key)
             step += self.k_steps
             rays_done += self.tcfg.n_rays * self.k_steps
+            if pbar is not None:
+                pbar.update(self.k_steps)
             if profile_dir and step - start >= 2 * self.k_steps:
                 jax.profiler.stop_trace()
                 logger.info("profile trace written to %s", profile_dir)
@@ -168,6 +179,8 @@ class TrainLoop:
             if step % viz_mesh_int == 0 and step < iterations:
                 self.validate_mesh(step, resolution=512)
 
+        if pbar is not None:
+            pbar.close()
         self.writer.flush()
         logger.info("training done.")
 

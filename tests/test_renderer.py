@@ -164,3 +164,26 @@ def test_bf16_compute_mode(key):
     g = jax.grad(lambda p: float(0) + jnp.mean(
         render_rays(p, cfg16, o, d, near, far, perturb_overwrite=0.0)["color_fine"]))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_nerf_background_path(key):
+    """n_outside > 0 enables the NeRF++ inverted-sphere background
+    (NeuS.py:95-134,315-336 capability; every shipped reference config
+    leaves it off, but it must run and produce finite outputs)."""
+    import dataclasses
+    from color_neus_tpu.models.configs import NeRFConfig
+    cfg = dataclasses.replace(
+        TINY_NEUS, n_outside=4,
+        nerf=NeRFConfig(depth=2, width=32, multires=2, multires_view=2, skips=()))
+    params = init_renderer(key, cfg)
+    assert "nerf" in params
+    o, d, near, far = _rays(3)
+    out = render_rays(params, cfg, o, d, near, far, key=key,
+                      background_rgb=jnp.zeros((1, 3)))
+    assert np.isfinite(np.asarray(out["color_fine"])).all()
+    # depth uses the extended z (inside + outside samples)
+    assert out["depth"].shape == (3,)
+
+    g = jax.grad(lambda p: float(0) + jnp.mean(
+        render_rays(p, cfg, o, d, near, far, key=key)["color_fine"]))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
