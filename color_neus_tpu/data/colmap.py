@@ -151,3 +151,48 @@ def write_points3d_binary(points: dict, path: str):
         for p in points.values():
             f.write(struct.pack("<QdddBBBd", p.id, *p.xyz, *[int(v) for v in p.rgb], p.error))
             f.write(struct.pack("<Q", 0))
+
+
+# ---------------------------------------------------------------------------
+# Text-format readers (COLMAP's alternative on-disk format)
+# ---------------------------------------------------------------------------
+
+def read_cameras_text(path: str) -> dict:
+    cameras = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id = int(parts[0])
+            cameras[cam_id] = Camera(cam_id, parts[1], int(parts[2]), int(parts[3]),
+                                     np.array([float(p) for p in parts[4:]]))
+    return cameras
+
+
+def read_images_text(path: str) -> dict:
+    images = {}
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip() and not l.strip().startswith("#")]
+    # two lines per image: header, then 2D points (ignored)
+    for header in lines[0::2]:
+        p = header.split()
+        images[int(p[0])] = ColmapImage(
+            int(p[0]), np.array([float(x) for x in p[1:5]]),
+            np.array([float(x) for x in p[5:8]]), int(p[8]), p[9])
+    return images
+
+
+def read_points3d_text(path: str) -> dict:
+    points = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            p = line.split()
+            points[int(p[0])] = Point3D(
+                int(p[0]), np.array([float(x) for x in p[1:4]]),
+                np.array([int(x) for x in p[4:7]], np.uint8), float(p[7]))
+    return points

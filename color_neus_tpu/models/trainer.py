@@ -53,8 +53,12 @@ class TrainerConfig:
 
     iterations: int = 100000
     lr: float = 5e-4
+    optimizer: str = "adam"          # adam | rmsprop | sgd (net_utils.py:81-106)
+    scheduler: str = "NEUS"          # NEUS (warmup+cosine) | NERF (exp decay)
     warm_up: int = 5000
     lr_alpha: float = 0.05
+    gamma: float = 0.1               # NERF scheduler decay factor
+    decay_steps: int = 250000        # NERF scheduler decay interval
     grad_clip_enabled: bool = True
     grad_clip_norm: float = 1.0
 
@@ -87,8 +91,12 @@ def trainer_config_from_cfg(cfg: dict, H: int, W: int, n_cams: int) -> TrainerCo
         rgb_loss_type=loss.get("RGB_LOSS_TYPE", "mse"),
         iterations=t.get("ITERATIONS", 100000),
         lr=opt.get("LR", 5e-4),
+        optimizer=opt.get("TYPE", "adam"),
+        scheduler=opt.get("SCHEDULER_TYPE", "NEUS"),
         warm_up=opt.get("WARM_UP", 5000),
         lr_alpha=opt.get("LR_ALPHA", 0.05),
+        gamma=opt.get("GAMMA", 0.1),
+        decay_steps=opt.get("LRATE_DECAY", 250000),
         grad_clip_enabled=t.get("GRAD_CLIP_ENABLED", True),
         grad_clip_norm=float(t.get("GRAD_CLIP", {}).get("NORM", 1.0)),
         camera=CameraConfig(
@@ -119,6 +127,20 @@ def neus_lr_schedule(cfg: TrainerConfig):
     return sched
 
 
+def nerf_lr_schedule(cfg: TrainerConfig):
+    """Exponential decay lr * gamma^(step/decay_steps) (net_utils.py:40-53)."""
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        return cfg.lr * cfg.gamma ** (step / cfg.decay_steps)
+    return sched
+
+
+def lr_schedule(cfg: TrainerConfig):
+    if cfg.scheduler.upper() == "NERF":
+        return nerf_lr_schedule(cfg)
+    return neus_lr_schedule(cfg)
+
+
 def clip_per_leaf(max_norm: float):
     """Per-parameter-tensor L2 norm clip, matching torch clip_grad_norm_
     applied leaf-by-leaf (net_utils.py:174-184)."""
@@ -134,9 +156,18 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     parts = []
     if cfg.grad_clip_enabled:
         parts.append(clip_per_leaf(cfg.grad_clip_norm))
+    # optimizer families of build_optimizer_nerf (net_utils.py:81-106)
+    kind = cfg.optimizer.lower()
+    if kind == "adam":
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8))
+    elif kind == "rmsprop":
+        parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+    elif kind == "sgd":
+        pass  # plain gradient
+    else:
+        raise NotImplementedError(f"optimizer {cfg.optimizer}")
     parts += [
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8),
-        optax.scale_by_schedule(neus_lr_schedule(cfg)),
+        optax.scale_by_schedule(lr_schedule(cfg)),
         optax.scale(-1.0),
     ]
     return optax.chain(*parts)
@@ -276,7 +307,7 @@ def train_step(state, scene, cfg: TrainerConfig, images, masks, img_ids, key):
     new_params = optax.apply_updates(state["params"], updates)
     new_state = {"params": new_params, "opt_state": new_opt, "step": step + 1}
     aux["psnr"] = -10.0 * jnp.log10(jnp.maximum(aux["rgb_fine_loss"], 1e-10))
-    aux["lr"] = neus_lr_schedule(cfg)(step)
+    aux["lr"] = lr_schedule(cfg)(step)
     return new_state, aux
 
 

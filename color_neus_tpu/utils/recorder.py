@@ -113,13 +113,24 @@ class ScalarWriter:
         except Exception:
             self._tb = None
 
+    def _is_master(self):
+        try:
+            import jax
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
     def add_scalar(self, tag: str, value: float, step: int):
+        if not self._is_master():  # multi-host: rank 0 only (@master_only parity)
+            return
         import json
         self._jsonl.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
 
     def add_image(self, tag: str, img_hwc, step: int):
+        if not self._is_master():
+            return
         if self._tb is not None:
             self._tb.add_image(tag, np.asarray(img_hwc), step, dataformats="HWC")
 

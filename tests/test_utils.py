@@ -180,3 +180,59 @@ def test_lpips_stub():
     m = M.LPIPS()
     m.feed(np.zeros((4, 4, 3)), np.ones((4, 4, 3)))
     assert m.avg == 0.0
+
+
+def test_renderer_and_model_registries():
+    """String-TYPE dispatch parity with the reference's builder registries."""
+    import color_neus_tpu.models  # noqa: F401 — triggers registration
+    import color_neus_tpu.data    # noqa: F401
+    from color_neus_tpu.utils.registry import RENDERER, MODEL, DATASET
+    from color_neus_tpu.models.builders import build_renderer
+    assert "NeuS" in RENDERER and "Color_NeuS" in RENDERER
+    assert "NeuS_Trainer" in MODEL
+    assert "DTU" in DATASET and "Synthetic" in DATASET
+    h = build_renderer({"TYPE": "NeuS",
+                        "SDF": {"D_HIDDEN": 32, "N_LAYERS": 2, "SKIP_IN": [],
+                                "MULTIRES": 2},
+                        "COLOR": {"MODE": "idr", "D_IN": 9, "D_HIDDEN": 32,
+                                  "N_LAYERS": 1, "MULTIRES_VIEW": 2}})
+    params = h.init(jax.random.PRNGKey(0))
+    import jax.numpy as _j
+    o = _j.asarray([[0.0, 0.0, -2.5]]); d = _j.asarray([[0.0, 0.0, 1.0]])
+    out = h(params, o, d, _j.asarray([1.5]), _j.asarray([3.5]),
+            perturb_overwrite=0.0)
+    assert out["color_fine"].shape == (1, 3)
+
+
+def test_colmap_text_readers(tmp_path):
+    from color_neus_tpu.data import colmap
+    with open(os.path.join(tmp_path, "cameras.txt"), "w") as f:
+        f.write("# comment\n1 PINHOLE 640 480 500.0 510.0 320.0 240.0\n")
+    with open(os.path.join(tmp_path, "images.txt"), "w") as f:
+        f.write("# hdr\n1 1.0 0.0 0.0 0.0 0.1 0.2 0.3 1 img.png\n\n")
+    with open(os.path.join(tmp_path, "points3D.txt"), "w") as f:
+        f.write("5 1.0 2.0 3.0 10 20 30 0.5 1 0\n")
+    cams = colmap.read_cameras_text(os.path.join(tmp_path, "cameras.txt"))
+    assert cams[1].model == "PINHOLE" and cams[1].params[0] == 500.0
+    ims = colmap.read_images_text(os.path.join(tmp_path, "images.txt"))
+    assert ims[1].name == "img.png"
+    np.testing.assert_allclose(ims[1].tvec, [0.1, 0.2, 0.3])
+    pts = colmap.read_points3d_text(os.path.join(tmp_path, "points3D.txt"))
+    np.testing.assert_allclose(pts[5].xyz, [1, 2, 3])
+
+
+def test_nerf_scheduler_and_optimizers():
+    from color_neus_tpu.models import trainer as TR
+    import dataclasses
+    cfg = TR.TrainerConfig(scheduler="NERF", gamma=0.1, decay_steps=1000, lr=1e-3)
+    s = TR.lr_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(1000)), 1e-4, rtol=1e-5)
+    # optimizer variants construct and update
+    for kind in ("adam", "rmsprop", "sgd"):
+        c = dataclasses.replace(cfg, optimizer=kind)
+        tx = TR.make_optimizer(c)
+        params = {"w": jnp.ones(3)}
+        st = tx.init(params)
+        up, _ = tx.update({"w": jnp.ones(3)}, st, params)
+        assert np.isfinite(np.asarray(up["w"])).all()
