@@ -334,12 +334,10 @@ def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     weight_sum, weight_max, gradients, weights, gradient_error,
     inside_sphere, depth (+ global_color / delta_relight for color_neus).
     """
-    sample_dist = 2.0 / rcfg.n_samples
+    import contextlib
     if rcfg.compute_dtype != "float32":
-        import contextlib
         dtype_ctx = fields.compute_dtype(jnp.dtype(rcfg.compute_dtype))
     else:
-        import contextlib
         dtype_ctx = contextlib.nullcontext()
     with dtype_ctx:
         return _render_rays_inner(params, rcfg, rays_o, rays_d, near, far, key,
