@@ -379,12 +379,29 @@ def make_render_chunk(cfg: TrainerConfig):
     return jax.jit(chunk_fn)
 
 
+def make_render_image_fn(cfg: TrainerConfig):
+    """All chunks of a full image inside ONE jit (lax.map over EVAL_RAY_SIZE
+    chunks) — the reference's host-side chunk loop
+    (NeuS_Trainer.py:233-245) would cost one dispatch round-trip per chunk
+    (~30 ms each on a tunneled chip; ~2000 chunks for a DTU image)."""
+    def render_fn(params, scene, rays_o_c, rays_d_c, keys):
+        def chunk(args):
+            ro, rd, k = args
+            ro = (ro - scene["origin"]) / scene["radius"]
+            near, far = near_far_from_sphere(ro, rd)
+            out = neus.render_rays(params["renderer"], cfg.renderer, ro, rd,
+                                   near, far, key=k)
+            return out["color_fine"], out["depth"]
+        return jax.lax.map(chunk, (rays_o_c, rays_d_c, keys))
+    return jax.jit(render_fn)
+
+
 def render_image(params, scene, cfg: TrainerConfig, cam_id: int, H: int, W: int,
                  key, chunk_fn=None):
-    """Render a full image by fixed-size chunks (NeuS_Trainer.validate_image
-    233-245). Returns (rgb [H,W,3], depth [H,W]) as numpy arrays."""
+    """Render a full image (NeuS_Trainer.validate_image capability).
+    Returns (rgb [H,W,3], depth [H,W]) as numpy arrays."""
     if chunk_fn is None:
-        chunk_fn = make_render_chunk(cfg)
+        chunk_fn = make_render_image_fn(cfg)
     focal = focal_apply(params["focal"], cfg.camera)
     c2w = pose_apply(params["pose"], cfg.camera, scene["init_c2w"],
                      jnp.asarray([cam_id]))[0]
@@ -398,14 +415,12 @@ def render_image(params, scene, cfg: TrainerConfig, cam_id: int, H: int, W: int,
     n_pad = (-n) % cs
     rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], axis=0)
     rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], axis=0)
+    n_chunks = rays_o.shape[0] // cs
+    keys = jax.random.split(key, n_chunks)
 
-    rgbs, depths = [], []
-    for i in range(rays_o.shape[0] // cs):
-        key, sub = jax.random.split(key)
-        rgb, depth = chunk_fn(params, scene, rays_o[i * cs:(i + 1) * cs],
-                              rays_d[i * cs:(i + 1) * cs], sub)
-        rgbs.append(np.asarray(rgb))
-        depths.append(np.asarray(depth))
-    rgb = np.concatenate(rgbs, axis=0)[:n].reshape(H, W, 3)
-    depth = np.concatenate(depths, axis=0)[:n].reshape(H, W)
+    rgb, depth = chunk_fn(params, scene,
+                          rays_o.reshape(n_chunks, cs, 3),
+                          rays_d.reshape(n_chunks, cs, 3), keys)
+    rgb = np.asarray(rgb).reshape(-1, 3)[:n].reshape(H, W, 3)
+    depth = np.asarray(depth).reshape(-1)[:n].reshape(H, W)
     return rgb, depth

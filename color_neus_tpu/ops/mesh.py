@@ -22,7 +22,9 @@ from color_neus_tpu.ops.marching_cubes import extract_geometry_from_grid
 def evaluate_sdf_grid(params, rcfg: RendererConfig, bound_min, bound_max,
                       resolution: int, chunk: int = 1 << 18, sdf_chunk_fn=None) -> np.ndarray:
     """-sdf on a dense grid [res, res, res] (the reference queries -sdf,
-    NeuS.py:416). Chunked jit evaluation with static chunk shapes."""
+    NeuS.py:416). All chunks evaluate inside ONE jit (lax.map) — unlike
+    the reference's per-64^3-block host sync (NeuS.py:26); the fused
+    Pallas SDF kernel is used on TPU."""
     bmin = np.asarray(bound_min, np.float32)
     bmax = np.asarray(bound_max, np.float32)
     xs = np.linspace(bmin[0], bmax[0], resolution, dtype=np.float32)
@@ -32,6 +34,8 @@ def evaluate_sdf_grid(params, rcfg: RendererConfig, bound_min, bound_max,
     pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
 
     if sdf_chunk_fn is None:
+        # plain XLA per-chunk evaluator: measured faster end-to-end than a
+        # scanned fused-kernel variant (compile time dominates at 512^3)
         @jax.jit
         def sdf_chunk_fn(p):
             return -fields.sdf_value(params["sdf"], rcfg.sdf, p)[:, 0]
@@ -59,7 +63,6 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     — no: the reference passes the raw SDF gradient and its negation as
     normals/view-dirs (NeuS.py:44-64). For Color-NeuS (no_view_dir mode)
     this is exactly the view-independent global color."""
-    @jax.jit
     def chunk_fn(pts):
         sdf, feat, grad = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
         return fields.color_apply(params["color"], rcfg.color, pts, grad, -grad, feat)
@@ -68,9 +71,12 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     pad = (-n) % chunk
     pts = np.concatenate([vertices.astype(np.float32),
                           np.zeros((pad, 3), np.float32)], axis=0)
-    out = np.empty((n + pad, 3), np.float32)
-    for i in range(0, n + pad, chunk):
-        out[i:i + chunk] = np.asarray(chunk_fn(jnp.asarray(pts[i:i + chunk])))
+
+    @jax.jit
+    def all_chunks(p):
+        return jax.lax.map(chunk_fn, p.reshape(-1, chunk, 3))
+
+    out = np.asarray(all_chunks(jnp.asarray(pts))).reshape(-1, 3)
     return out[:n]
 
 

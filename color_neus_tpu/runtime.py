@@ -191,7 +191,7 @@ class TrainLoop:
         self.key, k_pick, k_render = jax.random.split(self.key, 3)
         cam_id = int(jax.random.randint(k_pick, (), 0, self.n_imgs))
         if self._chunk_fn is None:
-            self._chunk_fn = TR.make_render_chunk(self.tcfg)
+            self._chunk_fn = TR.make_render_image_fn(self.tcfg)
         rgb, depth = TR.render_image(self.state["params"], self.scene, self.tcfg,
                                      cam_id, self.H, self.W, k_render,
                                      chunk_fn=self._chunk_fn)
