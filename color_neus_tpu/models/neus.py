@@ -130,13 +130,18 @@ def merge_z_vals(z_vals, new_z, sdf, new_sdf):
     # rank of each new z: own index + #(old <= it)
     pos_b = jnp.arange(m)[None, :] + jnp.sum(
         z_vals[:, :, None] <= new_z[:, None, :], axis=1)
-    rows = jnp.arange(R)[:, None]
-    z = jnp.zeros((R, n + m), z_vals.dtype)
-    z = z.at[rows, pos_a].set(z_vals).at[rows, pos_b].set(new_z)
+    # place by one-hot matmul (MXU) — the scatter formulation lowers to
+    # scalar-core 1-D scatters (~2x slower, measured); exact since each
+    # output slot receives exactly one contribution
+    k = jnp.arange(n + m)
+    oh_a = (pos_a[:, :, None] == k).astype(z_vals.dtype)
+    oh_b = (pos_b[:, :, None] == k).astype(z_vals.dtype)
+    z = jnp.einsum("rn,rnk->rk", z_vals, oh_a) + \
+        jnp.einsum("rm,rmk->rk", new_z, oh_b)
     if sdf is None:
         return z, None
-    s = jnp.zeros((R, n + m), sdf.dtype)
-    s = s.at[rows, pos_a].set(sdf).at[rows, pos_b].set(new_sdf)
+    s = jnp.einsum("rn,rnk->rk", sdf, oh_a) + \
+        jnp.einsum("rm,rmk->rk", new_sdf, oh_b)
     return z, s
 
 
