@@ -158,10 +158,15 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, M - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    # batched gathers as one-hot MXU contractions (take_along_axis lowers
+    # to scalar-core gathers here — measured several ms at 2048x448)
+    m_iota = jnp.arange(M)
+    oh_b = (below[:, :, None] == m_iota).astype(cdf.dtype)
+    oh_a = (above[:, :, None] == m_iota).astype(cdf.dtype)
+    cdf_b = jnp.einsum("rkm,rm->rk", oh_b, cdf)
+    cdf_a = jnp.einsum("rkm,rm->rk", oh_a, cdf)
+    bins_b = jnp.einsum("rkm,rm->rk", oh_b, bins)
+    bins_a = jnp.einsum("rkm,rm->rk", oh_a, bins)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
