@@ -315,8 +315,10 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
 
 
 def pe_inputs(rcfg: RendererConfig, pts: jnp.ndarray, dirs: jnp.ndarray):
-    """XLA-side kernel inputs: padded embedding, its 3 jacobian rows, and
-    the (embedded) view dirs. Cheap elementwise work, one HBM pass."""
+    """XLA-side kernel inputs: padded embedding and (embedded) view dirs.
+    Tangent seeds are derived INSIDE the kernels from emb via the
+    tangent_basis constants (saves the [3, N, 128] HBM arrays in both
+    directions)."""
     sdf = rcfg.sdf
     d0 = embedding_dim(3, sdf.multires) if sdf.multires > 0 else 3
     d0p = _rup(d0)
@@ -325,38 +327,9 @@ def pe_inputs(rcfg: RendererConfig, pts: jnp.ndarray, dirs: jnp.ndarray):
     emb = positional_encoding(q, sdf.multires) if sdf.multires > 0 else q
     embp = jnp.zeros((n, d0p), emb.dtype).at[:, :d0].set(emb)
 
-    # d emb / d p_i (tangent seeds), scale folded in. Built with pure
-    # concat/reshape in the emb column order — integer-index scatters
-    # here cost ~25 ms at 0.5M points on TPU.
-    s = sdf.scale
-    eye = jnp.eye(3, dtype=pts.dtype)
-    if sdf.multires > 0:
-        L = sdf.multires
-        freqs = 2.0 ** jnp.arange(L, dtype=pts.dtype)
-        fq = q[:, None, :] * freqs[None, :, None]               # [n, L, 3]
-        cosq = jnp.cos(fq)
-        sinq = jnp.sin(fq)
-        tang_list = []
-        for i in range(3):
-            e_i = eye[i]                                        # [3]
-            # per frequency: [sin-block grads (3) | cos-block grads (3)]
-            blocks = jnp.concatenate(
-                [s * freqs[None, :, None] * cosq * e_i,
-                 -s * freqs[None, :, None] * sinq * e_i], axis=2)  # [n, L, 6]
-            t = jnp.concatenate(
-                [jnp.broadcast_to(s * e_i, (n, 3)), blocks.reshape(n, 6 * L)],
-                axis=1)                                         # [n, d0]
-            tang_list.append(t)
-        tang = jnp.stack(tang_list, axis=0)                     # [3, n, d0]
-    else:
-        tang = jnp.broadcast_to(s * eye[:, None, :], (3, n, 3))
-    if d0p > tang.shape[2]:
-        tang = jnp.concatenate(
-            [tang, jnp.zeros((3, n, d0p - tang.shape[2]), pts.dtype)], axis=2)
-
-    # view-dir features for color/relight (may use different multires)
     dvc = rcfg.color.multires_view
     dvr = rcfg.relight.multires_view if rcfg.kind == "color_neus" else 0
+
     def dir_feat(mv):
         if mv > 0:
             f = positional_encoding(dirs, mv)
@@ -365,7 +338,43 @@ def pe_inputs(rcfg: RendererConfig, pts: jnp.ndarray, dirs: jnp.ndarray):
         return jnp.zeros((n, 128), f.dtype).at[:, :f.shape[1]].set(f)
     dirs_c = dir_feat(dvc)
     dirs_r = dir_feat(dvr) if rcfg.kind == "color_neus" else dirs_c
-    return embp, tang, dirs_c, dirs_r
+    return embp, dirs_c, dirs_r
+
+
+def tangent_basis(rcfg: RendererConfig):
+    """Constants (S [d0p, d0p], MC [8, d0p]) with
+    tang_i = (emb @ S) * MC[i] + MC[3+i]  (i = 0..2): the PE jacobian is a
+    sin<->cos column swap times per-column factors plus a constant for the
+    raw-coordinate columns. S is symmetric, so the transpose pullback in
+    the bwd kernel reuses it."""
+    sdf = rcfg.sdf
+    d0 = embedding_dim(3, sdf.multires) if sdf.multires > 0 else 3
+    d0p = _rup(d0)
+    s = sdf.scale
+    S = np.zeros((d0p, d0p), np.float32)
+    MC = np.zeros((8, d0p), np.float32)
+    L = sdf.multires
+    for k in range(L):
+        f = 2.0 ** k
+        for j in range(3):
+            sc = 3 + 6 * k + j   # sin column
+            cc = 6 + 6 * k + j   # cos column
+            S[cc, sc] = 1.0      # tang sin-col draws from emb cos-col
+            S[sc, cc] = 1.0      # tang cos-col draws from emb sin-col
+            MC[j, sc] = s * f
+            MC[j, cc] = -s * f
+    for j in range(3):
+        MC[3 + j, j] = s         # raw-coordinate columns: constant s*e_i
+    return jnp.asarray(S), jnp.asarray(MC)
+
+
+def _kernel_tangents(emb, S_ref, MC_ref):
+    """In-kernel tangent seeds [3, T, d0p] from emb via the swap basis."""
+    ES = jnp.dot(emb, S_ref[:], preferred_element_type=jnp.float32)
+    MC = MC_ref[:]
+    M3 = MC[0:3][:, None, :]       # [3, 1, d0p] per-column factors
+    C3 = MC[3:6][:, None, :]       # [3, 1, d0p] constants
+    return ES[None] * M3 + C3
 
 
 # ---------------------------------------------------------------------------
@@ -401,18 +410,18 @@ def _kdot_b(a, b, bf16):
 
 
 def _fwd_kernel(meta, T, bf16, refs):
-    """refs = (emb, tang, dirs_c, dirs_r, *ws, *bs, out)."""
+    """refs = (emb, S, MC, dirs_c, dirs_r, *ws, *bs, out)."""
     n_w = meta["n_sdf"] + meta["n_color"] + meta["n_relight"]
-    emb_ref, tang_ref, dirs_c_ref, dirs_r_ref = refs[:4]
-    w_refs = refs[4:4 + n_w]
-    b_refs = refs[4 + n_w:4 + 2 * n_w]
+    emb_ref, S_ref, MC_ref, dirs_c_ref, dirs_r_ref = refs[:5]
+    w_refs = refs[5:5 + n_w]
+    b_refs = refs[5 + n_w:5 + 2 * n_w]
     out_ref = refs[-1]
 
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta["scale"]
 
     emb = emb_ref[:]                                   # [T, d0p]
-    tang = tang_ref[:]                                 # [3, T, d0p]
+    tang = _kernel_tangents(emb, S_ref, MC_ref)        # [3, T, d0p]
 
     # ---- SDF chain, value (h) and tangents (U) kept separate so the
     # per-layer gating is a broadcast multiply, not a concat/stack ----
@@ -494,46 +503,18 @@ def _fwd_kernel(meta, T, bf16, refs):
 def fused_point_pipeline_fwd(dense: dict, rcfg: RendererConfig,
                              pts: jnp.ndarray, dirs: jnp.ndarray,
                              tile: int = 512, interpret: bool = False):
-    """Fused forward: same outputs as point_pipeline_ref.
-
-    Call inside a traced computation; pack + PE become part of the jit.
-    """
+    """Fused forward only (no VJP): same outputs as point_pipeline_ref."""
     ws, bs, meta = pack_pipeline_weights(dense, rcfg)
     n = pts.shape[0]
     n_pad = _rup(max(n, tile), tile)
     pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
     dirs_p = jnp.zeros((n_pad, 3), dirs.dtype).at[:n].set(dirs)
-    emb, tang, dirs_c, dirs_r = pe_inputs(rcfg, pts_p, dirs_p)
-    d0p = meta["d0p"]
-    T = tile
-
-    grid = (n_pad // T,)
-    in_specs = [
-        pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, T, d0p), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    for w in ws:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
-    for b in bs:
-        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
-
-    out = pl.pallas_call(
-        partial(_fwd_kernel_entry, meta, T, not interpret),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-        interpret=interpret,
-    )(emb, tang, dirs_c, dirs_r, *ws, *bs)
-
-    sdf = out[:n, 0:1]
-    grad = out[:n, 1:4]
-    gc = out[:n, 4:7]
-    relit = out[:n, 7:10]
-    delta = out[:n, 10:13]
-    return sdf, grad, gc, relit, delta
+    emb, dirs_c, dirs_r = pe_inputs(rcfg, pts_p, dirs_p)
+    S, MC = tangent_basis(rcfg)
+    out = _pallas_fwd_call(meta, tile, interpret, tuple(ws), tuple(bs),
+                           emb, S, MC, dirs_c, dirs_r)
+    return (out[:n, 0:1], out[:n, 1:4], out[:n, 4:7],
+            out[:n, 7:10], out[:n, 10:13])
 
 
 def _fwd_kernel_entry(meta, T, bf16, *refs):
@@ -569,13 +550,13 @@ def _d2softplus100(a):
 
 def _bwd_kernel(meta, T, bf16, refs):
     n_w = meta.n_sdf + meta.n_color + meta.n_relight
-    emb_ref, tang_ref, dirs_c_ref, dirs_r_ref, gbar_ref = refs[:5]
-    w_refs = refs[5:5 + n_w]
-    b_refs = refs[5 + n_w:5 + 2 * n_w]
-    out_refs = refs[5 + 2 * n_w:]
-    emb_hat_ref, tang_hat_ref, dc_hat_ref, dr_hat_ref = out_refs[:4]
-    w_hat_refs = out_refs[4:4 + n_w]
-    b_hat_refs = out_refs[4 + n_w:4 + 2 * n_w]
+    emb_ref, S_ref, MC_ref, dirs_c_ref, dirs_r_ref, gbar_ref = refs[:6]
+    w_refs = refs[6:6 + n_w]
+    b_refs = refs[6 + n_w:6 + 2 * n_w]
+    out_refs = refs[6 + 2 * n_w:]
+    emb_hat_ref, dc_hat_ref, dr_hat_ref = out_refs[:3]
+    w_hat_refs = out_refs[3:3 + n_w]
+    b_hat_refs = out_refs[3 + n_w:3 + 2 * n_w]
 
     i = pl.program_id(0)
 
@@ -592,7 +573,7 @@ def _bwd_kernel(meta, T, bf16, refs):
     store = _BWD_STORE[0]  # activation-storage dtype (upcast on use)
 
     emb = emb_ref[:]
-    tang = tang_ref[:]
+    tang = _kernel_tangents(emb, S_ref, MC_ref)
 
     # ---------- forward recompute, storing layer inputs ----------
     # Layer inputs stored in `store` dtype for the GEMM transposes;
@@ -792,11 +773,15 @@ def _bwd_kernel(meta, T, bf16, refs):
 
     emb_hat = emb_hat + Zh_bar
     tang_hat = tang_hat + ZU_bar
+    # tangent-seed pullback: tang_i = (emb @ S) * m_i + c_i  ->
+    # emb_hat += (sum_i tang_hat_i * m_i) @ S (S symmetric)
+    MC = MC_ref[:]
+    G = jnp.sum(tang_hat * MC[0:3][:, None, :], axis=0)
+    emb_hat = emb_hat + jnp.dot(G, S_ref[:], preferred_element_type=jnp.float32)
     # pts used via small: pts = emb[:, :3] * inv_scale
     emb_hat = jnp.concatenate(
         [emb_hat[:, 0:3] + pts_hat * inv_scale, emb_hat[:, 3:]], axis=1)
     emb_hat_ref[:] = emb_hat
-    tang_hat_ref[:] = tang_hat
     dc_hat_ref[:] = dirs_c_hat
     dr_hat_ref[:] = dirs_r_hat
 
@@ -809,13 +794,14 @@ def _bwd_kernel_entry(meta, T, bf16, *refs):
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-def _pallas_fwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr):
+def _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
     n_pad = emb.shape[0]
     grid = (n_pad // T,)
     d0p = meta.d0p
     in_specs = [
         pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, T, d0p), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(S.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(MC.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
@@ -830,16 +816,17 @@ def _pallas_fwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr):
         out_specs=pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         interpret=interpret,
-    )(emb, tang, dc, dr, *ws, *bs)
+    )(emb, S, MC, dc, dr, *ws, *bs)
 
 
-def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr, gbar):
+def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
     n_pad = emb.shape[0]
     grid = (n_pad // T,)
     d0p = meta.d0p
     in_specs = [
         pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, T, d0p), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(S.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(MC.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -851,13 +838,11 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr, gbar):
 
     out_specs = [
         pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, T, d0p), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_pad, d0p), jnp.float32),
-        jax.ShapeDtypeStruct((3, n_pad, d0p), jnp.float32),
         jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
         jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
     ]
@@ -875,32 +860,34 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr, gbar):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(emb, tang, dc, dr, gbar, *ws, *bs)
+    )(emb, S, MC, dc, dr, gbar, *ws, *bs)
     n_w = len(ws)
-    emb_hat, tang_hat, dc_hat, dr_hat = outs[:4]
-    w_hats = list(outs[4:4 + n_w])
-    b_hats = list(outs[4 + n_w:])
-    return emb_hat, tang_hat, dc_hat, dr_hat, w_hats, b_hats
+    emb_hat, dc_hat, dr_hat = outs[:3]
+    w_hats = list(outs[3:3 + n_w])
+    b_hats = list(outs[3 + n_w:])
+    return emb_hat, dc_hat, dr_hat, w_hats, b_hats
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pipeline_core(meta, T, interpret, ws, bs, emb, tang, dc, dr):
-    return _pallas_fwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr)
+def _pipeline_core(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
+    return _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr)
 
 
-def _pipeline_core_fwd(meta, T, interpret, ws, bs, emb, tang, dc, dr):
-    out = _pallas_fwd_call(meta, T, interpret, ws, bs, emb, tang, dc, dr)
-    return out, (ws, bs, emb, tang, dc, dr)
+def _pipeline_core_fwd(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
+    out = _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr)
+    return out, (ws, bs, emb, S, MC, dc, dr)
 
 
 def _pipeline_core_bwd(meta, T, interpret, res, gbar):
-    ws, bs, emb, tang, dc, dr = res
+    ws, bs, emb, S, MC, dc, dr = res
     # the bwd kernel stores per-layer activations in VMEM — use a smaller
     # tile than the (storage-free) forward so the working set fits
     T_bwd = math.gcd(T, _BWD_TILE[0])
-    emb_hat, tang_hat, dc_hat, dr_hat, w_hats, b_hats = _pallas_bwd_call(
-        meta, T_bwd, interpret, ws, bs, emb, tang, dc, dr, gbar)
-    return tuple(w_hats), tuple(b_hats), emb_hat, tang_hat, dc_hat, dr_hat
+    emb_hat, dc_hat, dr_hat, w_hats, b_hats = _pallas_bwd_call(
+        meta, T_bwd, interpret, ws, bs, emb, S, MC, dc, dr, gbar)
+    # S/MC are constants: zero cotangents
+    return (tuple(w_hats), tuple(b_hats), emb_hat,
+            jnp.zeros_like(S), jnp.zeros_like(MC), dc_hat, dr_hat)
 
 
 _pipeline_core.defvjp(_pipeline_core_fwd, _pipeline_core_bwd)
@@ -918,8 +905,10 @@ def fused_point_pipeline(dense: dict, rcfg: RendererConfig,
     n_pad = _rup(max(n, tile), tile)
     pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
     dirs_p = jnp.zeros((n_pad, 3), dirs.dtype).at[:n].set(dirs)
-    emb, tang, dc, dr = pe_inputs(rcfg, pts_p, dirs_p)
+    emb, dc, dr = pe_inputs(rcfg, pts_p, dirs_p)
+    S, MC = tangent_basis(rcfg)
     out = _pipeline_core(meta, tile, interpret, tuple(ws), tuple(bs),
-                         emb, tang, dc, dr)
+                         emb, jax.lax.stop_gradient(S),
+                         jax.lax.stop_gradient(MC), dc, dr)
     return (out[:n, 0:1], out[:n, 1:4], out[:n, 4:7],
             out[:n, 7:10], out[:n, 10:13])
