@@ -9,9 +9,11 @@ kernel keeps all weights and one point-tile's activations VMEM-resident:
 per point, HBM sees only the embedded inputs once and ~13 output floats.
 
 The SDF input-gradient is computed by forward-mode tangent propagation
-INSIDE the kernel: the tile is stacked [h; u1; u2; u3] (value + 3
-tangents) so each layer is ONE [4T, w] GEMM followed by a softplus gate
-on the value rows and a derivative gate on the tangent rows.
+INSIDE the kernel: the value tile h [T, w] and the tangent tile
+U [3, T, w] share each layer's weights; the softplus gate applies to h
+and its derivative gates U (a broadcast multiply — no stacking/concat,
+which Mosaic lowers to VMEM shuffles). Tangent seeds come from the
+embedding itself via a constant sin<->cos swap basis (tangent_basis).
 
 Structure:
   resolve_dense(params, rcfg)     weight-norm -> plain dense pytree (XLA,
