@@ -43,6 +43,11 @@ class TrainLoop:
 
         seed = cfg["TRAIN"].get("MANUAL_SEED", 1)
         self.key = jax.random.PRNGKey(seed)
+        # training-stream base key: derived from the seed alone (NOT from
+        # the evolving self.key) so a resumed run replays the exact same
+        # per-step streams as a straight run — the jitted step folds in
+        # the in-state step counter
+        self.base_key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5EED)
 
         # dataset
         self.dataset = create_dataset(cfg["DATASET"], cfg.get("DATA_PRESET", {}))
@@ -106,7 +111,28 @@ class TrainLoop:
         self._chunk_fn = None
 
     # ------------------------------------------------------------------
-    def run(self, profile_dir: str | None = None):
+    def run(self, profile_dir: str | None = None, stop_after: int | None = None):
+        """Train to TRAIN.ITERATIONS; stop_after interrupts gracefully at
+        that step (checkpointing) — the resume path continues exactly.
+
+        SIGTERM/SIGINT also interrupt gracefully: the loop checkpoints at
+        the next step boundary and exits cleanly (crash = rerun with
+        --resume, the reference's recovery model, train.py:54-55)."""
+        import signal
+        interrupted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            interrupted["flag"] = True
+            logger.warning("signal %d: will checkpoint and stop at the "
+                           "next step boundary", signum)
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
         t = self.cfg["TRAIN"]
         iterations = t["ITERATIONS"]
         log_int = t.get("LOG_INTERVAL", 10)
@@ -119,9 +145,9 @@ class TrainLoop:
                     self.exp_id, start, iterations, self.k_steps)
         t0 = time.time()
         rays_done = 0
-        # one constant base key for the whole run; the jitted step folds in
-        # the step counter — the loop below issues no per-step host ops
-        self.key, base_key = jax.random.split(self.key)
+        # constant base key (seed-derived, resume-stable); the jitted step
+        # folds in the step counter — the loop issues no per-step host ops
+        base_key = self.base_key
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         # progress bar (etqdm parity: rank 0 only, silent when not a tty)
@@ -179,8 +205,16 @@ class TrainLoop:
             if step % viz_mesh_int == 0 and step < iterations:
                 self.validate_mesh(step, resolution=512)
 
+            if (stop_after is not None and step >= stop_after) or interrupted["flag"]:
+                self.recorder.record_checkpoint(self.state, self.key)
+                logger.info("stopped early at step %d (checkpointed)", step)
+                break
+
         if pbar is not None:
             pbar.close()
+        for sig, h in prev_handlers.items():
+            import signal as _sig
+            _sig.signal(sig, h)
         self.writer.flush()
         logger.info("training done.")
 

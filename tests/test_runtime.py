@@ -100,3 +100,54 @@ def test_pretrained_reload(tmp_path, monkeypatch):
     v1 = np.asarray(loop1.state["params"]["renderer"]["variance"]["variance"])
     v2 = np.asarray(loop2.state["params"]["renderer"]["variance"]["variance"])
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_resume_is_bitwise_deterministic(tmp_path, monkeypatch):
+    """Checkpoint at step K and resume: params at step N must equal the
+    straight-through run bit-for-bit (PRNG key + step live in the state,
+    so the sampling stream re-aligns exactly)."""
+    monkeypatch.chdir(tmp_path)
+    cfg_a = tiny_cfg(tmp_path, iterations=6)
+    loop_a = TrainLoop(cfg_a, exp_id="straight")
+    loop_a.run()
+
+    # same config, interrupted mid-run (config changes would legitimately
+    # alter e.g. the mask-rate schedule; real resume reloads dump_cfg)
+    cfg_b = tiny_cfg(tmp_path, iterations=6)
+    loop_b = TrainLoop(cfg_b, exp_id="resumed")
+    loop_b.run(stop_after=3)
+    assert int(loop_b.state["step"]) == 3
+    exp_path = loop_b.recorder.exp_path
+    cfg_b2 = tiny_cfg(tmp_path, iterations=6)
+    loop_b2 = TrainLoop(cfg_b2, exp_id="resumed", resume=exp_path)
+    loop_b2.run()
+
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(loop_a.state["params"]),
+                    jax.tree_util.tree_leaves(loop_b2.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
+    """SIGTERM mid-training -> checkpoint at the next step boundary +
+    clean exit (failure-recovery model: rerun with --resume)."""
+    import os as _os
+    import signal as _signal
+    import threading
+
+    monkeypatch.chdir(tmp_path)
+    loop = TrainLoop(tiny_cfg(tmp_path, iterations=1000), exp_id="t")
+
+    def fire():
+        _os.kill(_os.getpid(), _signal.SIGTERM)
+    timer = threading.Timer(3.0, fire)
+    timer.start()
+    loop.run()  # returns instead of running 1000 steps
+    timer.cancel()
+    step = int(loop.state["step"])
+    assert 0 < step < 1000
+    assert os.path.isfile(loop.recorder.ckpt_path())
+    # resume continues from the interrupted step
+    loop2 = TrainLoop(tiny_cfg(tmp_path, iterations=1000), exp_id="t",
+                      resume=loop.recorder.exp_path)
+    assert int(loop2.state["step"]) == step
