@@ -855,6 +855,9 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
         out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
 
+    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
+    # halves the resident weight footprint (grad accumulators stay f32)
+    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
     outs = pl.pallas_call(
         partial(_bwd_kernel_entry, meta, T, not interpret),
         grid=grid,
@@ -862,7 +865,7 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(emb, S, MC, dc, dr, gbar, *ws, *bs)
+    )(emb, S, MC, dc, dr, gbar, *ws_in, *bs)
     n_w = len(ws)
     emb_hat, dc_hat, dr_hat = outs[:3]
     w_hats = list(outs[3:3 + n_w])
