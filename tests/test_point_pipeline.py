@@ -207,3 +207,47 @@ def test_render_rays_fused_core_matches_plain(key):
         scale = max(float(jnp.abs(b).max()), 1e-4)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3 * scale, rtol=0.05)
+
+
+@pytest.mark.parametrize("variant", ["no_normal", "no_inv_sigmoid", "no_grad_relight"])
+def test_fused_config_variants(key, variant):
+    """Less-common config branches must match the oracle through the
+    fused kernels: no_normal color mode, RELIGHT.INV_SIGMOID=False,
+    RELIGHT.INCLUDE_GRAD=False."""
+    import dataclasses
+    if variant == "no_normal":
+        rcfg = RendererConfig(
+            kind="neus",
+            sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
+            color=ColorConfig(mode="no_normal", d_in=6, d_feature=256,
+                              d_hidden=64, n_layers=2, multires_view=4))
+    elif variant == "no_inv_sigmoid":
+        rcfg = dataclasses.replace(
+            SMALL_COLOR, relight=dataclasses.replace(SMALL_COLOR.relight,
+                                                     inv_sigmoid=False))
+    else:
+        rcfg = dataclasses.replace(
+            SMALL_COLOR, relight=dataclasses.replace(SMALL_COLOR.relight,
+                                                     include_grad=False, d_in=6))
+    params = neus.init_renderer(key, rcfg)
+    dense = PP.resolve_dense(params, rcfg)
+    n = 64
+    pts, dirs = _pts_dirs(n)
+    ref = PP.point_pipeline_ref(dense, rcfg, pts, dirs)
+    got = PP.fused_point_pipeline_fwd(dense, rcfg, pts, dirs, tile=64,
+                                      interpret=True)
+    for name, a, b in zip(["sdf", "grad", "gc", "relit", "delta"], got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=f"{variant}:{name}")
+    # gradients too
+    lw = _loss_weights(n)
+    g_ref = jax.grad(lambda d_: sum(jnp.sum(w * o) for w, o in zip(
+        lw, PP.point_pipeline_ref(d_, rcfg, pts, dirs))))(dense)
+    g_fus = jax.grad(lambda d_: sum(jnp.sum(w * o) for w, o in zip(
+        lw, PP.fused_point_pipeline(d_, rcfg, pts, dirs, tile=64,
+                                    interpret=True))))(dense)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fus),
+                    jax.tree_util.tree_leaves(g_ref)):
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=4e-3 * scale, rtol=0.05)
