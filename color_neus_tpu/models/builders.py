@@ -8,8 +8,6 @@ functional core stays pytree-based; these are thin handles around it.
 
 from __future__ import annotations
 
-import jax
-
 from color_neus_tpu.models.configs import renderer_config_from_cfg
 from color_neus_tpu.models import neus
 from color_neus_tpu.utils.registry import RENDERER, MODEL

@@ -11,8 +11,6 @@ jit's sharding propagation is the whole story.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

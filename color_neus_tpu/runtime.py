@@ -20,7 +20,7 @@ from color_neus_tpu.models import trainer as TR
 from color_neus_tpu.models.trainer import TrainerConfig, trainer_config_from_cfg
 from color_neus_tpu.ops import mesh as mesh_ops
 from color_neus_tpu.utils.logger import logger
-from color_neus_tpu.utils.metrics import LossMetric, PSNR, SSIM, mse2psnr
+from color_neus_tpu.utils.metrics import LossMetric, PSNR, SSIM
 from color_neus_tpu.utils.recorder import Recorder, ScalarWriter
 
 

@@ -14,10 +14,6 @@ With more than one device, rays are sharded over the mesh
 from __future__ import annotations
 
 import argparse
-import os
-import time
-
-import numpy as np
 
 
 def parse_args():
@@ -48,10 +44,7 @@ def main():
     import jax
     from color_neus_tpu.utils.config import get_config
     from color_neus_tpu.utils.logger import logger
-    from color_neus_tpu.utils.recorder import Recorder, ScalarWriter
-    from color_neus_tpu.utils.metrics import LossMetric
-    from color_neus_tpu.data import create_dataset
-    from color_neus_tpu.models import trainer as TR
+    from color_neus_tpu.utils.recorder import Recorder
     from color_neus_tpu.runtime import TrainLoop
 
     if arg.resume:
