@@ -538,6 +538,10 @@ def _fwd_kernel_entry(meta, T, bf16, *refs):
 # pure-XLA oracle in interpret mode.
 
 _BWD_STORE = [jnp.bfloat16]
+# 128 is the VMEM ceiling: T_bwd=256 fails Mosaic compile (activation
+# storage for 8 sdf layers x 4 streams doubles past VMEM, even with bf16
+# weight inputs). Next size lever: split color/relight-bwd into its own
+# kernel so the sdf-bwd working set shrinks.
 _BWD_TILE = [128]
 
 
