@@ -65,6 +65,11 @@ class TrainerConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     renderer: RendererConfig = field(default_factory=RendererConfig)
 
+    # sharding mesh for multi-device runs (params replicated, rays sharded
+    # on its 'dp' axis); None = single device. Threaded explicitly — no
+    # module-global sharding state (see parallel/sharding.py).
+    mesh: object = None
+
 
 def trainer_config_from_cfg(cfg: dict, H: int, W: int, n_cams: int) -> TrainerConfig:
     """Build from a reference-schema config dict (cfg.MODEL + cfg.TRAIN)."""
@@ -269,12 +274,12 @@ def render_random_rays(params, scene, cfg: TrainerConfig, images, masks, img_ids
     rgb_gt = images[cam_sel, py, px]
 
     # Multi-device: shard the ray axis here so all downstream per-ray
-    # compute (the MLP sweeps) partitions across the mesh.
+    # compute (the MLP sweeps) partitions across cfg.mesh.
     from color_neus_tpu.parallel.sharding import constrain_rays
-    rays_o = constrain_rays(rays_o)
-    rays_d = constrain_rays(rays_d)
-    rgb_gt = constrain_rays(rgb_gt)
-    sel_mask = constrain_rays(sel_mask)
+    rays_o = constrain_rays(rays_o, cfg.mesh)
+    rays_d = constrain_rays(rays_d, cfg.mesh)
+    rgb_gt = constrain_rays(rgb_gt, cfg.mesh)
+    sel_mask = constrain_rays(sel_mask, cfg.mesh)
 
     rays_o = (rays_o - scene["origin"]) / scene["radius"]
     near, far = near_far_from_sphere(rays_o, rays_d)
@@ -366,18 +371,6 @@ def make_train_multi_step(cfg: TrainerConfig, n_imgs: int, batch_size: int,
 # ---------------------------------------------------------------------------
 # Full-image rendering (validation / testing)
 # ---------------------------------------------------------------------------
-
-def make_render_chunk(cfg: TrainerConfig):
-    """Jitted fixed-size ray-chunk renderer (forward only, no perturb noise
-    is still applied as in the reference's val path, which keeps PERTURB)."""
-    def chunk_fn(params, scene, rays_o, rays_d, key):
-        rays_o = (rays_o - scene["origin"]) / scene["radius"]
-        near, far = near_far_from_sphere(rays_o, rays_d)
-        out = neus.render_rays(params["renderer"], cfg.renderer, rays_o, rays_d,
-                               near, far, key=key)
-        return out["color_fine"], out["depth"]
-    return jax.jit(chunk_fn)
-
 
 def make_render_image_fn(cfg: TrainerConfig):
     """All chunks of a full image inside ONE jit (lax.map over EVAL_RAY_SIZE

@@ -9,5 +9,5 @@ across hosts DCN — and XLA inserts/overlaps the collectives.
 
 from color_neus_tpu.parallel.mesh import make_mesh, replicated, ray_sharded
 from color_neus_tpu.parallel.sharding import (
-    set_ray_sharding, constrain_rays, make_sharded_train_step,
+    constrain_rays, with_mesh, make_sharded_train_step,
 )

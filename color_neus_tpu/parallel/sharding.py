@@ -7,9 +7,14 @@ after generation, so XLA partitions every downstream per-ray computation
 psum for the scalar loss/gradients, overlapped with backward compute by
 the latency-hiding scheduler. No shard_map needed: the constraint plus
 jit's sharding propagation is the whole story.
+
+The mesh is threaded explicitly through ``TrainerConfig.mesh`` — there is
+no module-global sharding state to install or clean up.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -17,21 +22,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from color_neus_tpu.parallel.mesh import RAY_AXIS, replicated
 
 
-_ACTIVE_MESH: Mesh | None = None
-
-
-def set_ray_sharding(mesh: Mesh | None):
-    """Install (or clear) the mesh used by constrain_rays at trace time."""
-    global _ACTIVE_MESH
-    _ACTIVE_MESH = mesh
-
-
-def constrain_rays(x):
-    """Constrain a [n_rays, ...] array to be sharded on the ray axis."""
-    if _ACTIVE_MESH is None or x is None:
+def constrain_rays(x, mesh: Mesh | None):
+    """Constrain a [n_rays, ...] array to be sharded on the ray axis of
+    `mesh`; identity when mesh is None (single device)."""
+    if mesh is None or x is None:
         return x
     spec = P(RAY_AXIS, *([None] * (x.ndim - 1)))
-    return jax.lax.with_sharding_constraint(x, NamedSharding(_ACTIVE_MESH, spec))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def with_mesh(cfg, mesh: Mesh | None):
+    """A copy of a TrainerConfig with its sharding mesh set."""
+    return dataclasses.replace(cfg, mesh=mesh)
 
 
 def make_sharded_train_step(cfg, mesh: Mesh, donate: bool = True):
@@ -46,11 +48,11 @@ def make_sharded_train_step(cfg, mesh: Mesh, donate: bool = True):
             f"n_rays={cfg.n_rays} not divisible by {mesh.devices.size} devices")
 
     rep = replicated(mesh)
+    cfg = with_mesh(cfg, mesh)
 
     def step(state, scene, images, masks, img_ids, key):
         return TR.train_step(state, scene, cfg, images, masks, img_ids, key)
 
-    set_ray_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, rep, rep, rep, rep, rep),

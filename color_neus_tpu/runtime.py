@@ -36,7 +36,8 @@ def depth_colormap(depth: np.ndarray) -> np.ndarray:
 
 class TrainLoop:
     def __init__(self, cfg, exp_id: str = "default", resume: str | None = None,
-                 snapshot: int = 50, mesh_backend: str = "auto"):
+                 snapshot: int = 50, mesh_backend: str = "auto",
+                 require_clean_git: bool = True):
         self.cfg = cfg
         self.exp_id = exp_id
         self.mesh_backend = mesh_backend
@@ -71,7 +72,8 @@ class TrainLoop:
                       if all_data["masks"] is not None else None)
 
         # runtime
-        self.recorder = Recorder(exp_id, cfg, resume_path=resume, snapshot=snapshot)
+        self.recorder = Recorder(exp_id, cfg, resume_path=resume, snapshot=snapshot,
+                                 require_clean_git=require_clean_git)
         self.writer = ScalarWriter(os.path.join(self.recorder.exp_path, "tensorboard"))
         self.loss_metric = LossMetric()
         self.psnr_metric = PSNR()
@@ -88,12 +90,12 @@ class TrainLoop:
             self.state, self.key = self.recorder.resume_checkpoint(self.state, self.key)
             logger.info("resumed at step %d", int(self.state["step"]))
 
-        # multi-device: install the ray-axis sharding so the jitted step
-        # partitions per-ray compute across the mesh (params replicated)
+        # multi-device: thread the mesh through the trainer config so the
+        # jitted step shards per-ray compute (params replicated)
         n_dev = len(jax.devices())
         if n_dev > 1 and self.tcfg.n_rays % n_dev == 0:
-            from color_neus_tpu.parallel import make_mesh, set_ray_sharding
-            set_ray_sharding(make_mesh())
+            from color_neus_tpu.parallel import make_mesh, with_mesh
+            self.tcfg = with_mesh(self.tcfg, make_mesh())
             logger.info("sharding rays over %d devices", n_dev)
         # bundle LOG_INTERVAL steps per dispatch when the event intervals
         # line up — one tunnel round-trip per log line instead of per step
@@ -221,8 +223,13 @@ class TrainLoop:
     # ------------------------------------------------------------------
     def validate_image(self, step: int):
         """Render one random view; dump [GT | render | depth] strip and
-        feed PSNR/SSIM (NeuS_Trainer.validate_image 216-277)."""
-        self.key, k_pick, k_render = jax.random.split(self.key, 3)
+        feed PSNR/SSIM (NeuS_Trainer.validate_image 216-277).
+
+        The key is folded from the seed-derived base key + step (not drawn
+        from the evolving self.key), so a resumed run renders the same
+        validation cameras/noise as an uninterrupted one."""
+        k_val = jax.random.fold_in(jax.random.fold_in(self.base_key, 0xA11D), step)
+        k_pick, k_render = jax.random.split(k_val)
         cam_id = int(jax.random.randint(k_pick, (), 0, self.n_imgs))
         if self._chunk_fn is None:
             self._chunk_fn = TR.make_render_image_fn(self.tcfg)

@@ -1,9 +1,13 @@
 """YAML config system, schema-compatible with the reference's yacs trees.
 
-The reference (lib/utils/config.py) uses yacs CfgNode with UPPERCASE keys;
-we keep the same YAML schema (so reference config/*.yml files load 1:1)
-but store them as a lightweight frozen attr-dict. CLI overrides mirror
-get_config (config.py:89-103): batch size, reload checkpoint, obj id.
+The reference (lib/utils/config.py) uses yacs CfgNode with UPPERCASE keys
+and wraps the result in a recursive freeze (CN_R, config.py:8-39) so a
+config cannot be mutated mid-run; we keep the same YAML schema (so
+reference config/*.yml files load 1:1) in a lightweight attr-dict with
+the same freeze semantics. CLI overrides mirror get_config
+(config.py:89-103): batch size, reload checkpoint, obj id — plus our
+smoke-run extras (iterations, data root) — and are applied BEFORE the
+freeze; after get_config returns, any mutation raises.
 """
 
 from __future__ import annotations
@@ -13,15 +17,82 @@ import copy
 import yaml
 
 
-class Config(dict):
-    """Read-only-ish nested dict with attribute access (cfg.MODEL.N_RAYS)."""
+class FrozenConfigError(TypeError):
+    pass
 
+
+class Config(dict):
+    """Nested attr-dict (cfg.MODEL.N_RAYS) with recursive freeze."""
+
+    _frozen = False  # class fallback (instances set their own via freeze())
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        object.__setattr__(self, "_frozen", False)
+
+    # -- attribute access ---------------------------------------------------
     def __getattr__(self, name):
         try:
             return self[name]
         except KeyError as e:
             raise AttributeError(name) from e
 
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    # -- freeze semantics ---------------------------------------------------
+    def freeze(self):
+        """Recursively forbid mutation (reference CN_R, config.py:8-39)."""
+        object.__setattr__(self, "_frozen", True)
+        for v in self.values():
+            if isinstance(v, Config):
+                v.freeze()
+            elif isinstance(v, list):
+                for x in v:
+                    if isinstance(x, Config):
+                        x.freeze()
+        return self
+
+    @property
+    def is_frozen(self):
+        return object.__getattribute__(self, "_frozen")
+
+    def _check(self):
+        if object.__getattribute__(self, "_frozen"):
+            raise FrozenConfigError(
+                "Config is frozen (mutation after get_config is a bug; "
+                "build a new dict/Config if you need a variant)")
+
+    def __setitem__(self, key, value):
+        self._check()
+        super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        self._check()
+        super().__delitem__(key)
+
+    def update(self, *a, **k):
+        self._check()
+        return super().update(*a, **k)
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self._check()
+        return super().setdefault(key, default)
+
+    def pop(self, *a):
+        self._check()
+        return super().pop(*a)
+
+    def popitem(self):
+        self._check()
+        return super().popitem()
+
+    def clear(self):
+        self._check()
+        return super().clear()
+
+    # -- (de)construction ---------------------------------------------------
     @staticmethod
     def wrap(obj):
         if isinstance(obj, dict):
@@ -38,6 +109,10 @@ class Config(dict):
                 return [unwrap(v) for v in o]
             return o
         return unwrap(self)
+
+    def thaw_copy(self) -> "Config":
+        """A deep, unfrozen copy (for building variants)."""
+        return Config.wrap(copy.deepcopy(self.to_dict()))
 
     def dump_yaml(self, path: str):
         with open(path, "w") as f:
@@ -69,8 +144,10 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
-def get_config(config_file: str, arg=None, merge: bool = True) -> Config:
-    """Load YAML, merge over defaults, apply CLI overrides (config.py:74-108)."""
+def get_config(config_file: str, arg=None, merge: bool = True,
+               freeze: bool = True) -> Config:
+    """Load YAML, merge over defaults, apply CLI overrides, freeze
+    (reference get_config, config.py:74-108)."""
     with open(config_file) as f:
         loaded = yaml.safe_load(f) or {}
     cfg = _deep_merge(DEFAULTS, loaded) if merge else loaded
@@ -84,5 +161,12 @@ def get_config(config_file: str, arg=None, merge: bool = True) -> Config:
             cfg["MODEL"]["PRETRAINED"] = arg.reload
         if getattr(arg, "obj_id", None) is not None:
             cfg.setdefault("DATASET", {})["OBJ_ID"] = arg.obj_id
+        if getattr(arg, "iterations", None) is not None:
+            cfg["TRAIN"]["ITERATIONS"] = arg.iterations
+        if getattr(arg, "data_root", None) is not None:
+            cfg.setdefault("DATASET", {})["DATA_ROOT"] = arg.data_root
 
-    return Config.wrap(cfg)
+    out = Config.wrap(cfg)
+    if freeze:
+        out.freeze()
+    return out

@@ -23,16 +23,20 @@ from color_neus_tpu.utils.logger import logger
 class Recorder:
     def __init__(self, exp_id: str, cfg, root: str = "./exp",
                  resume_path: str | None = None, snapshot: int = 50,
-                 require_clean_git: bool = False, timestamp: str | None = None):
+                 require_clean_git: bool = True, timestamp: str | None = None):
         self.exp_id = exp_id
         self.snapshot = snapshot
         self._n_saves = 0
 
-        if require_clean_git and exp_id not in ("default", "eval"):
-            # reference enforces a clean tree for named exps (recorder.py:39)
+        # reference enforces a clean tree for named exps (recorder.py:39);
+        # 'default' and eval runs are exempt, and require_clean_git=False
+        # (train.py --allow_dirty) opts out
+        if (require_clean_git and exp_id not in ("default", "eval")
+                and not exp_id.startswith("eval_")):
             if _git_dirty():
                 raise RuntimeError(
-                    f"git tree dirty; commit before running named exp '{exp_id}'")
+                    f"git tree dirty; commit before running named exp "
+                    f"'{exp_id}' (or pass --allow_dirty)")
 
         if resume_path is not None:
             self.exp_path = resume_path

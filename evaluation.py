@@ -29,9 +29,7 @@ def main():
     from color_neus_tpu.runtime import TrainLoop
     from color_neus_tpu.utils.logger import logger
 
-    cfg = get_config(arg.cfg, arg)
-    if arg.data_root is not None:
-        cfg["DATASET"]["DATA_ROOT"] = arg.data_root
+    cfg = get_config(arg.cfg, arg)  # data_root/reload applied inside; frozen
     exp_id = arg.exp_id or f"eval_{cfg['MODEL']['RENDERER']['TYPE']}_{arg.obj_id}"
     loop = TrainLoop(cfg, exp_id=exp_id)
     out = loop.validate_mesh(int(loop.state["step"]), resolution=arg.recon_res,

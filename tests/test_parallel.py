@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from color_neus_tpu.parallel import make_mesh, set_ray_sharding
+from color_neus_tpu.parallel import make_mesh
 import __graft_entry__ as graft
 
 
@@ -25,10 +25,7 @@ def test_graft_entry_compiles():
 
 
 def test_dryrun_multichip_8():
-    try:
-        graft.dryrun_multichip(8)
-    finally:
-        set_ray_sharding(None)
+    graft.dryrun_multichip(8)
 
 
 def test_sharded_step_matches_single_device():
@@ -65,11 +62,8 @@ def test_sharded_step_matches_single_device():
     _, aux1 = plain(state, scene, images, None, img_ids, k)
 
     mesh = make_mesh(8)
-    try:
-        sharded = make_sharded_train_step(cfg, mesh, donate=False)
-        _, aux2 = sharded(state, scene, images, None, img_ids, k)
-    finally:
-        set_ray_sharding(None)
+    sharded = make_sharded_train_step(cfg, mesh, donate=False)
+    _, aux2 = sharded(state, scene, images, None, img_ids, k)
 
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
                                rtol=2e-4, atol=2e-5)
@@ -80,17 +74,21 @@ def test_sharded_output_is_sharded():
     compiled HLO should reference all 8 devices."""
     from color_neus_tpu.parallel.sharding import constrain_rays
     mesh = make_mesh(8)
-    set_ray_sharding(mesh)
-    try:
-        @jax.jit
-        def f(x):
-            y = constrain_rays(x)
-            return (y * 2).sum()
 
-        x = jnp.ones((64, 3))
-        # with a constraint inside, the compiled HLO must mention sharding
-        hlo = f.lower(x).compile().as_text()
-        assert "sharding" in hlo
-        assert np.isclose(float(f(x)), 384.0)
-    finally:
-        set_ray_sharding(None)
+    @jax.jit
+    def f(x):
+        y = constrain_rays(x, mesh)
+        return (y * 2).sum()
+
+    x = jnp.ones((64, 3))
+    # with a constraint inside, the compiled HLO must mention sharding
+    hlo = f.lower(x).compile().as_text()
+    assert "sharding" in hlo
+    assert np.isclose(float(f(x)), 384.0)
+
+
+def test_constrain_rays_none_mesh_identity():
+    x = jnp.ones((8, 3))
+    from color_neus_tpu.parallel.sharding import constrain_rays
+    assert constrain_rays(x, None) is x
+    assert constrain_rays(None, make_mesh(2)) is None

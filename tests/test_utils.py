@@ -45,6 +45,43 @@ def test_config_cli_overrides(tmp_path):
     assert cfg.DATASET.OBJ_ID == "83"
 
 
+def test_config_frozen_after_get_config(tmp_path):
+    """get_config returns a recursively frozen tree (reference CN_R parity,
+    /root/reference/lib/utils/config.py:8-39): mutation raises."""
+    from color_neus_tpu.utils.config import FrozenConfigError
+    p = os.path.join(tmp_path, "c.yml")
+    with open(p, "w") as f:
+        f.write("MODEL:\n  N_RAYS: 256\nTRAIN:\n  BATCH_SIZE: 4\n")
+    cfg = get_config(p)
+    assert cfg.is_frozen
+    with pytest.raises(FrozenConfigError):
+        cfg["TRAIN"]["BATCH_SIZE"] = 16
+    with pytest.raises(FrozenConfigError):
+        cfg.MODEL.N_RAYS = 1
+    with pytest.raises(FrozenConfigError):
+        cfg["TRAIN"].pop("BATCH_SIZE")
+    # reading still fine, and a thawed copy is mutable
+    assert cfg.TRAIN.BATCH_SIZE == 4
+    c2 = cfg.thaw_copy()
+    c2["TRAIN"]["BATCH_SIZE"] = 16
+    assert c2.TRAIN.BATCH_SIZE == 16 and cfg.TRAIN.BATCH_SIZE == 4
+
+
+def test_recorder_rejects_dirty_git_for_named_exp(tmp_path, monkeypatch):
+    """Clean-tree enforcement for named exps (reference recorder.py:39)."""
+    import subprocess
+    monkeypatch.chdir(tmp_path)
+    subprocess.run(["git", "init", "-q"], check=True)
+    with open("f.txt", "w") as f:
+        f.write("dirty")
+    with pytest.raises(RuntimeError, match="dirty"):
+        Recorder("named_exp", None, root=str(tmp_path / "exp"))
+    # exempt ids and the opt-out flag still work
+    Recorder("default", None, root=str(tmp_path / "exp"))
+    Recorder("named_exp", None, root=str(tmp_path / "exp"),
+             require_clean_git=False)
+
+
 def test_reference_schema_configs_load():
     """Our shipped configs must parse into TrainerConfig."""
     from color_neus_tpu.models.trainer import trainer_config_from_cfg
@@ -154,7 +191,8 @@ def test_checkpoint_shape_mismatch(tmp_path):
 
 
 def test_recorder_checkpoint_and_resume(tmp_path, key):
-    rec = Recorder("t", None, root=str(tmp_path), snapshot=1)
+    rec = Recorder("t", None, root=str(tmp_path), snapshot=1,
+                   require_clean_git=False)
     state = {"params": {"w": jnp.ones(4)}, "step": jnp.asarray(7)}
     rec.record_checkpoint(state, key)
     zero = jax.tree_util.tree_map(jnp.zeros_like, state)

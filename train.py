@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator/rank from env, the standard JAX way)")
+    p.add_argument("--allow_dirty", action="store_true",
+                   help="skip the clean-git-tree check for named exp_ids "
+                        "(the reference enforces it, recorder.py:39)")
     return p.parse_args()
 
 
@@ -45,25 +48,27 @@ def main():
     from color_neus_tpu.utils.config import get_config
     from color_neus_tpu.utils.logger import logger
     from color_neus_tpu.utils.recorder import Recorder
-    from color_neus_tpu.runtime import TrainLoop
+    from color_neus_tpu.models.builders import build_model
 
+    # overrides (batch size, reload, obj id, iterations, data root) are
+    # applied inside get_config; the returned cfg is frozen
     if arg.resume:
         cfg = get_config(Recorder.find_resume_cfg(arg.resume), arg)
     else:
         assert arg.cfg is not None, "--cfg required (or --resume)"
         cfg = get_config(arg.cfg, arg)
-    if arg.iterations is not None:
-        cfg["TRAIN"]["ITERATIONS"] = arg.iterations
-    if arg.data_root is not None:
-        cfg["DATASET"]["DATA_ROOT"] = arg.data_root
 
     if arg.distributed:
         jax.distributed.initialize()
         logger.info("distributed: process %d/%d", jax.process_index(),
                     jax.process_count())
     logger.info("devices: %s", jax.devices())
-    loop = TrainLoop(cfg, exp_id=arg.exp_id, resume=arg.resume, snapshot=arg.snapshot)
-    loop.run(profile_dir=arg.profile)
+    # cfg.MODEL.TYPE selects the trainer through the MODEL registry
+    # (reference build_model_init, lib/utils/builder.py:320-360)
+    model = build_model(cfg, exp_id=arg.exp_id, resume=arg.resume,
+                        snapshot=arg.snapshot,
+                        require_clean_git=not arg.allow_dirty)
+    model.run(profile_dir=arg.profile)
 
 
 if __name__ == "__main__":
