@@ -8,12 +8,15 @@ GEMM vs a 0.35 ms compute roofline — bandwidth-bound). The fused Pallas
 kernel keeps all weights and one point-tile's activations VMEM-resident:
 per point, HBM sees only the embedded inputs once and ~13 output floats.
 
-The SDF input-gradient is computed by forward-mode tangent propagation
-INSIDE the kernel: the value tile h [T, w] and the tangent tile
-U [3, T, w] share each layer's weights; the softplus gate applies to h
-and its derivative gates U (a broadcast multiply — no stacking/concat,
-which Mosaic lowers to VMEM shuffles). Tangent seeds come from the
-embedding itself via a constant sin<->cos swap basis (tangent_basis).
+The SDF input-gradient is computed REVERSE-mode INSIDE the kernel: the
+value sweep stores the beta=100 softplus gates, then one backward sweep
+pulls the raw-sdf cotangent e0 down to the input embedding (the last
+layer's pullback is just weight column 0 — free). The positional
+encodings are also computed in-kernel from a packed [T, 8] input via
+constant phase bases (pe_basis), so per point HBM sees 8 floats in and
+16 out. The backward kernel handles the second-order grad-cotangent
+path with a single tangent stream along the grad cotangent direction
+(reverse-over-forward Hessian-vector product).
 
 Structure:
   resolve_dense(params, rcfg)     weight-norm -> plain dense pytree (XLA,
@@ -316,67 +319,70 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
     return ws, bs, PMeta(**meta)
 
 
-def pe_inputs(rcfg: RendererConfig, pts: jnp.ndarray, dirs: jnp.ndarray):
-    """XLA-side kernel inputs: padded embedding and (embedded) view dirs.
-    Tangent seeds are derived INSIDE the kernels from emb via the
-    tangent_basis constants (saves the [3, N, 128] HBM arrays in both
-    directions)."""
-    sdf = rcfg.sdf
-    d0 = embedding_dim(3, sdf.multires) if sdf.multires > 0 else 3
-    d0p = _rup(d0)
+def pack_point_inputs(pts: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """The kernels' ONLY per-point input: [n, 8] = [x,y,z,0, dx,dy,dz,0].
+
+    Positional encodings (for the SDF net and both view-dir encoders) are
+    computed INSIDE the kernels from these 6 lanes via the pe_basis
+    constants — one tiny [T,8]@[8,d0p] MXU dot plus sin/cos on the VPU.
+    This replaces three [n, 128] HBM arrays (embedded pts + two embedded
+    dir blocks) per kernel call with one [n, 8] array, and deletes the
+    XLA-side PE-sine fusions entirely."""
     n = pts.shape[0]
-    q = pts * sdf.scale
-    emb = positional_encoding(q, sdf.multires) if sdf.multires > 0 else q
-    embp = jnp.zeros((n, d0p), emb.dtype).at[:, :d0].set(emb)
-
-    dvc = rcfg.color.multires_view
-    dvr = rcfg.relight.multires_view if rcfg.kind == "color_neus" else 0
-
-    def dir_feat(mv):
-        if mv > 0:
-            f = positional_encoding(dirs, mv)
-        else:
-            f = dirs
-        return jnp.zeros((n, 128), f.dtype).at[:, :f.shape[1]].set(f)
-    dirs_c = dir_feat(dvc)
-    dirs_r = dir_feat(dvr) if rcfg.kind == "color_neus" else dirs_c
-    return embp, dirs_c, dirs_r
+    z1 = jnp.zeros((n, 1), pts.dtype)
+    return jnp.concatenate([pts, z1, dirs, z1], axis=1)
 
 
-def tangent_basis(rcfg: RendererConfig):
-    """Constants (S [d0p, d0p], MC [8, d0p]) with
-    tang_i = (emb @ S) * MC[i] + MC[3+i]  (i = 0..2): the PE jacobian is a
-    sin<->cos column swap times per-column factors plus a constant for the
-    raw-coordinate columns. S is symmetric, so the transpose pullback in
-    the bwd kernel reuses it."""
-    sdf = rcfg.sdf
-    d0 = embedding_dim(3, sdf.multires) if sdf.multires > 0 else 3
-    d0p = _rup(d0)
-    s = sdf.scale
-    S = np.zeros((d0p, d0p), np.float32)
-    MC = np.zeros((8, d0p), np.float32)
-    L = sdf.multires
-    for k in range(L):
-        f = 2.0 ** k
-        for j in range(3):
-            sc = 3 + 6 * k + j   # sin column
-            cc = 6 + 6 * k + j   # cos column
-            S[cc, sc] = 1.0      # tang sin-col draws from emb cos-col
-            S[sc, cc] = 1.0      # tang cos-col draws from emb sin-col
-            MC[j, sc] = s * f
-            MC[j, cc] = -s * f
+def pe_basis(multires: int, scale: float, coord_lane: int, dp: int) -> jnp.ndarray:
+    """[16, dp] constant: rows 0..7 = phase matrix B (phase = pin @ B),
+    rows 8/9/10 = raw/sin/cos column masks, so
+
+        emb = phase*raw + sin(phase)*sin_m + cos(phase)*cos_m
+
+    reproduces positional_encoding(coord * scale, multires) exactly
+    (frequency-major, sin-before-cos — ops/embedding.py layout), with
+    zeros in the padding columns. The jacobian d emb/d phase is
+    raw + cos(phase)*sin_m - sin(phase)*cos_m, reused by the backward
+    kernel's pullback to the packed input lanes."""
+    bm = np.zeros((16, dp), np.float32)
     for j in range(3):
-        MC[3 + j, j] = s         # raw-coordinate columns: constant s*e_i
-    return jnp.asarray(S), jnp.asarray(MC)
+        bm[coord_lane + j, j] = scale
+        bm[8, j] = 1.0
+    for k in range(multires):
+        f = scale * 2.0 ** k
+        for j in range(3):
+            bm[coord_lane + j, 3 + 6 * k + j] = f
+            bm[coord_lane + j, 6 + 6 * k + j] = f
+            bm[9, 3 + 6 * k + j] = 1.0
+            bm[10, 6 + 6 * k + j] = 1.0
+    return jnp.asarray(bm)
 
 
-def _kernel_tangents(emb, S_ref, MC_ref):
-    """In-kernel tangent seeds [3, T, d0p] from emb via the swap basis."""
-    ES = jnp.dot(emb, S_ref[:], preferred_element_type=jnp.float32)
-    MC = MC_ref[:]
-    M3 = MC[0:3][:, None, :]       # [3, 1, d0p] per-column factors
-    C3 = MC[3:6][:, None, :]       # [3, 1, d0p] constants
-    return ES[None] * M3 + C3
+def pe_bases(rcfg: RendererConfig):
+    """(BM_emb, BM_dirs_color, BM_dirs_relight) for the fused kernels.
+    pts occupy input lanes 0..2, dirs lanes 4..6 (pack_point_inputs)."""
+    sdf = rcfg.sdf
+    d0p = _rup(embedding_dim(3, sdf.multires) if sdf.multires > 0 else 3)
+    bm_e = pe_basis(sdf.multires, sdf.scale, 0, d0p)
+    bm_c = pe_basis(rcfg.color.multires_view, 1.0, 4, 128)
+    bm_r = (pe_basis(rcfg.relight.multires_view, 1.0, 4, 128)
+            if rcfg.kind == "color_neus" else bm_c)
+    return bm_e, bm_c, bm_r
+
+
+def _encode(pin, bm):
+    """In-kernel PE: pin [T, 8], bm [16, dp] -> (emb [T, dp], phase)."""
+    phase = jnp.dot(pin, bm[0:8], preferred_element_type=jnp.float32)
+    emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
+           + jnp.cos(phase) * bm[10:11])
+    return emb, phase
+
+
+def _encode_vjp(phase, bm, emb_hat):
+    """Pullback of _encode to the packed input lanes: [T, 8]."""
+    J = bm[8:9] + jnp.cos(phase) * bm[9:10] - jnp.sin(phase) * bm[10:11]
+    return jax.lax.dot_general(emb_hat * J, bm[0:8], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -393,15 +399,6 @@ def _kdot(a, b, bf16):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _kdot_t(a, b, bf16):
-    """a @ b.T (contract on last dims)."""
-    if bf16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def _kdot_b(a, b, bf16):
     """a.T @ b (contract on batch dims)."""
     if bf16:
@@ -412,47 +409,72 @@ def _kdot_b(a, b, bf16):
 
 
 def _fwd_kernel(meta, T, bf16, refs):
-    """refs = (emb, S, MC, dirs_c, dirs_r, *ws, *bs, out)."""
+    """refs = (pin, bm_e, bm_c, bm_r, *ws, *wts, *bs, out).
+
+    wts are the PRE-transposed sdf weights ([out_p, in_p], transposed
+    once per step in XLA): the reverse grad sweep's a @ W^T contractions
+    become plain row-major dots — no per-tile weight transposes."""
     n_w = meta["n_sdf"] + meta["n_color"] + meta["n_relight"]
-    emb_ref, S_ref, MC_ref, dirs_c_ref, dirs_r_ref = refs[:5]
-    w_refs = refs[5:5 + n_w]
-    b_refs = refs[5 + n_w:5 + 2 * n_w]
+    n_t = meta["n_sdf"]
+    pin_ref, bm_e_ref, bm_c_ref, bm_r_ref = refs[:4]
+    w_refs = refs[4:4 + n_w]
+    wt_refs = refs[4 + n_w:4 + n_w + n_t]
+    b_refs = refs[4 + n_w + n_t:4 + 2 * n_w + n_t]
     out_ref = refs[-1]
 
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta["scale"]
 
-    emb = emb_ref[:]                                   # [T, d0p]
-    tang = _kernel_tangents(emb, S_ref, MC_ref)        # [3, T, d0p]
+    pin = pin_ref[:]                                   # [T, 8]
+    emb, phase_e = _encode(pin, bm_e_ref[:])           # [T, d0p]
+    dirs_c, _ = _encode(pin, bm_c_ref[:])              # [T, 128]
+    if meta["n_relight"] > 0:
+        dirs_r, _ = _encode(pin, bm_r_ref[:])          # [T, 128]
 
-    # ---- SDF chain, value (h) and tangents (U) kept separate so the
-    # per-layer gating is a broadcast multiply, not a concat/stack ----
+    # ---- SDF chain: value forward storing the softplus gates, then ONE
+    # reverse sweep for the input-gradient. Reverse-mode costs one GEMM
+    # per layer (and the last layer is free: its cotangent is e0, so the
+    # pullback is just a weight column) versus THREE forward tangent
+    # streams — ~2.4x fewer SDF-gradient FLOPs than the JVP formulation.
     h = emb
-    U = tang
+    gates = []     # sigma'(s_l), f32 (beta=100 gates are bf16-intolerant)
     li = 0
     for l in range(meta["n_sdf"]):
         kind, in_p, out_p, out_real = meta["layers"][li]
         if kind == "sdf_skip":
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-            U = jnp.concatenate([U, tang], axis=2) * inv_sqrt2
         w = w_refs[li][:]
-        Zh = _kdot(h, w, bf16)
-        ZU = _kdot(U.reshape(3 * T, w.shape[0]), w, bf16).reshape(3, T, out_p)
+        a = _kdot(h, w, bf16) + b_refs[li][:]
         if l < meta["n_sdf"] - 1:
-            a = Zh + b_refs[li][:]
             h = _softplus100(a)
-            gate = jax.nn.sigmoid(100.0 * a)           # d softplus100
-            U = gate[None] * ZU
+            gates.append(jax.nn.sigmoid(100.0 * a))
         else:
-            y = Zh + b_refs[li][:]                     # [T, out_p] sdf+feat
-            u_col = ZU[:, :, 0]                        # [3, T] d raw_sdf / d p
+            y = a                                      # [T, out_p] sdf+feat
         li += 1
+
+    # reverse sweep: p = d f0_raw / d (layer-l input). The last layer's
+    # cotangent is e0, so its pullback is just weight column 0 = row 0
+    # of the transposed weight (no GEMM).
+    emb_g = jnp.zeros((T, meta["d0p"]), jnp.float32)
+    p = None
+    for l in range(meta["n_sdf"] - 1, -1, -1):
+        kind, in_p, out_p, out_real = meta["layers"][l]
+        if l == meta["n_sdf"] - 1:
+            p = jnp.broadcast_to(wt_refs[l][:][0:1, :], (T, in_p))
+        else:
+            q = p * gates[l]
+            p = _kdot(q, wt_refs[l][:], bf16)          # [T, in_p]
+        if kind == "sdf_skip":
+            emb_g = emb_g + p[:, in_p - meta["d0p"]:] * inv_sqrt2
+            p = p[:, :in_p - meta["d0p"]] * inv_sqrt2
+    emb_g = emb_g + p
+    # chain through the PE: d f0_raw / d pts (scale lives inside bm_e)
+    grad = _encode_vjp(phase_e, bm_e_ref[:], emb_g)[:, 0:3] * inv_scale
 
     sdf = y[:, 0:1] * inv_scale                        # [T, 1]
     feat = y[:, 1:1 + meta["feat_dim"]]                # [T, feat]
-    grad = jnp.transpose(u_col, (1, 0)) * inv_scale    # [T, 3]
 
-    pts = emb[:, 0:3] * inv_scale                      # [T, 3]
+    pts = pin[:, 0:3]                                  # [T, 3]
 
     # small block: [pts | grad | 0...] -> [T, 128]
     small = jnp.concatenate(
@@ -463,7 +485,7 @@ def _fwd_kernel(meta, T, bf16, refs):
         [feat, jnp.zeros((T, featp - meta["feat_dim"]), jnp.float32)], axis=1)
 
     # ---- color chain ----
-    h = jnp.concatenate([small, dirs_c_ref[:], feat_block], axis=1)  # [T, 512]
+    h = jnp.concatenate([small, dirs_c, feat_block], axis=1)  # [T, 512]
     for l in range(meta["n_color"]):
         kind, in_p, out_p, out_real = meta["layers"][li]
         h = _kdot(h, w_refs[li][:], bf16) + b_refs[li][:]
@@ -477,7 +499,7 @@ def _fwd_kernel(meta, T, bf16, refs):
     # ---- relight chain ----
     if meta["n_relight"] > 0:
         gc_block = jnp.concatenate([gc, jnp.zeros((T, 125), jnp.float32)], axis=1)
-        h = jnp.concatenate([small, dirs_r_ref[:]], axis=1)          # [T, 256]
+        h = jnp.concatenate([small, dirs_r], axis=1)                 # [T, 256]
         for l in range(meta["n_relight"]):
             kind, in_p, out_p, out_real = meta["layers"][li]
             if l > 0:
@@ -498,8 +520,8 @@ def _fwd_kernel(meta, T, bf16, refs):
         relit = gc
 
     out = jnp.concatenate(
-        [sdf, grad, gc, relit, delta, jnp.zeros((T, 115), jnp.float32)], axis=1)
-    out_ref[:] = out
+        [sdf, grad, gc, relit, delta, jnp.zeros((T, 3), jnp.float32)], axis=1)
+    out_ref[:] = out                                   # [T, 16]
 
 
 def fused_point_pipeline_fwd(dense: dict, rcfg: RendererConfig,
@@ -511,10 +533,10 @@ def fused_point_pipeline_fwd(dense: dict, rcfg: RendererConfig,
     n_pad = _rup(max(n, tile), tile)
     pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
     dirs_p = jnp.zeros((n_pad, 3), dirs.dtype).at[:n].set(dirs)
-    emb, dirs_c, dirs_r = pe_inputs(rcfg, pts_p, dirs_p)
-    S, MC = tangent_basis(rcfg)
+    pin = pack_point_inputs(pts_p, dirs_p)
+    bm_e, bm_c, bm_r = pe_bases(rcfg)
     out = _pallas_fwd_call(meta, tile, interpret, tuple(ws), tuple(bs),
-                           emb, S, MC, dirs_c, dirs_r)
+                           pin, bm_e, bm_c, bm_r)
     return (out[:n, 0:1], out[:n, 1:4], out[:n, 4:7],
             out[:n, 7:10], out[:n, 10:13])
 
@@ -527,21 +549,24 @@ def _fwd_kernel_entry(meta, T, bf16, *refs):
 # Fused backward kernel
 # ---------------------------------------------------------------------------
 #
-# Hand-written VJP of the fused forward. The SDF part is the transpose of
-# the stacked value+tangent chain, which is SECOND-order: the sigma''(a)
-# term couples the tangent cotangents back into the value path. Per sdf
-# layer the reverse sweep costs 3 stacked GEMMs (recompute Z, transpose,
-# weight-grad), all VMEM-resident. Parameter gradients accumulate across
-# grid steps in constant-index output blocks.
+# Hand-written VJP of the fused forward. The SDF part is SECOND-order
+# (the input-gradient is itself an output and a color/relight input), in
+# reverse-over-forward form: the grad cotangent g_bar contributes
+# <grad, g_bar> = directional derivative of the sdf along g_bar, so ONE
+# forward tangent stream along g_bar (computed AFTER the color/relight
+# backward fixes g_bar) plus one joint reverse sweep over the value and
+# tangent chains replaces the 3-seed-stream JVP transpose — ~45% fewer
+# SDF GEMMs and roughly half the VMEM activation storage. The sigma''
+# term couples the tangent cotangents back into the value path.
+# Parameter gradients accumulate across grid steps in constant-index
+# output blocks.
 #
 # Validated (tests/test_point_pipeline.py) against jax.grad of the
 # pure-XLA oracle in interpret mode.
 
 _BWD_STORE = [jnp.bfloat16]
-# 128 is the VMEM ceiling: T_bwd=256 fails Mosaic compile (activation
-# storage for 8 sdf layers x 4 streams doubles past VMEM, even with bf16
-# weight inputs). Next size lever: split color/relight-bwd into its own
-# kernel so the sdf-bwd working set shrinks.
+# bwd tile: per-layer activation storage (x, u bf16; gate f32; z bf16)
+# is ~10 B/elem vs the 3-stream formulation's ~18 — 256 fits post-rewrite
 _BWD_TILE = [128]
 
 
@@ -549,20 +574,19 @@ def _dsoftplus100(a):
     return jax.nn.sigmoid(100.0 * a)
 
 
-def _d2softplus100(a):
-    s = jax.nn.sigmoid(100.0 * a)
-    return 100.0 * s * (1.0 - s)
-
-
 def _bwd_kernel(meta, T, bf16, refs):
+    """refs = (pin, bm_e, bm_c, bm_r, gbar, *ws, *wts, *bs, outs...).
+    wts = ALL weights pre-transposed ([out_p, in_p]) — every x_bar
+    pullback is a plain row-major dot."""
     n_w = meta.n_sdf + meta.n_color + meta.n_relight
-    emb_ref, S_ref, MC_ref, dirs_c_ref, dirs_r_ref, gbar_ref = refs[:6]
-    w_refs = refs[6:6 + n_w]
-    b_refs = refs[6 + n_w:6 + 2 * n_w]
-    out_refs = refs[6 + 2 * n_w:]
-    emb_hat_ref, dc_hat_ref, dr_hat_ref = out_refs[:3]
-    w_hat_refs = out_refs[3:3 + n_w]
-    b_hat_refs = out_refs[3 + n_w:3 + 2 * n_w]
+    (pin_ref, bm_e_ref, bm_c_ref, bm_r_ref, gbar_ref) = refs[:5]
+    w_refs = refs[5:5 + n_w]
+    wt_refs = refs[5 + n_w:5 + 2 * n_w]
+    b_refs = refs[5 + 2 * n_w:5 + 3 * n_w]
+    out_refs = refs[5 + 3 * n_w:]
+    pin_hat_ref = out_refs[0]
+    w_hat_refs = out_refs[1:1 + n_w]
+    b_hat_refs = out_refs[1 + n_w:1 + 2 * n_w]
 
     i = pl.program_id(0)
 
@@ -577,47 +601,54 @@ def _bwd_kernel(meta, T, bf16, refs):
     inv_scale = 1.0 / meta.scale
     featd = meta.feat_dim
     store = _BWD_STORE[0]  # activation-storage dtype (upcast on use)
+    L = meta.n_sdf
 
-    emb = emb_ref[:]
-    tang = _kernel_tangents(emb, S_ref, MC_ref)
+    pin = pin_ref[:]                                   # [T, 8]
+    bm_e = bm_e_ref[:]
+    bm_c = bm_c_ref[:]
+    emb, phase_e = _encode(pin, bm_e)
+    dirs_c, phase_c = _encode(pin, bm_c)
+    if meta.n_relight > 0:
+        bm_r = bm_r_ref[:]
+        dirs_r, phase_r = _encode(pin, bm_r)
 
-    # ---------- forward recompute, storing layer inputs ----------
+    # ---------- SDF value forward recompute, storing inputs + gates ----
     # Layer inputs stored in `store` dtype for the GEMM transposes;
-    # pre-activations A kept in f32 — the beta=100 softplus gates (and
-    # especially sigma'') are far too sensitive to recompute from bf16.
-    # Value (h) and tangents (U) separated: gating is a broadcast
-    # multiply, never a stack/concat.
-    Xhs, XUs = [], []  # sdf layer inputs (post concat/gate)
-    As = []            # value pre-activations a_l, f32
-    Vs = []            # tangent pre-gates ZU_l
+    # gates kept f32 — the beta=100 sigma' (and especially the
+    # 100*g*(1-g) sigma'' factor) are too sensitive to round-trip bf16.
+    Xs = []            # sdf layer inputs x_l (post concat), store dtype
+    Gs = []            # gates sigmoid(100 a_l), f32
     h = emb
-    U = tang
-    li = 0
-    for l in range(meta.n_sdf):
-        kind, in_p, out_p, out_real = meta.layers[li]
+    for l in range(L):
+        kind, in_p, out_p, out_real = meta.layers[l]
         if kind == "sdf_skip":
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-            U = jnp.concatenate([U, tang], axis=2) * inv_sqrt2
-        Xhs.append(h.astype(store))
-        XUs.append(U.astype(store))
-        w = w_refs[li][:]
-        Zh = _kdot(h, w, bf16)
-        ZU = _kdot(U.reshape(3 * T, w.shape[0]), w, bf16).reshape(3, T, out_p)
-        if l < meta.n_sdf - 1:
-            a = Zh + b_refs[li][:]
-            As.append(a)
-            Vs.append(ZU.astype(store))
+        Xs.append(h.astype(store))
+        a = _kdot(h, w_refs[l][:], bf16) + b_refs[l][:]
+        if l < L - 1:
+            g = _dsoftplus100(a)
+            Gs.append(g)
             h = _softplus100(a)
-            gate = _dsoftplus100(a)
-            U = gate[None] * ZU
         else:
-            y = Zh + b_refs[li][:]
-            u_col = ZU[:, :, 0]
-        li += 1
-    sdf_out_p = meta.layers[meta.n_sdf - 1][2]
-    grad = jnp.transpose(u_col, (1, 0)) * inv_scale
+            y = a
+    sdf_out_p = meta.layers[L - 1][2]
     feat = y[:, 1:1 + featd]
-    pts = emb[:, 0:3] * inv_scale
+
+    # ---------- grad via reverse sweep (same as the fwd kernel) ----------
+    emb_g = jnp.zeros((T, meta.d0p), jnp.float32)
+    p = None
+    for l in range(L - 1, -1, -1):
+        kind, in_p, out_p, out_real = meta.layers[l]
+        if l == L - 1:
+            p = jnp.broadcast_to(wt_refs[l][:][0:1, :], (T, in_p))
+        else:
+            p = _kdot(p * Gs[l], wt_refs[l][:], bf16)
+        if kind == "sdf_skip":
+            emb_g = emb_g + p[:, in_p - meta.d0p:] * inv_sqrt2
+            p = p[:, :in_p - meta.d0p] * inv_sqrt2
+    emb_g = emb_g + p
+    grad = _encode_vjp(phase_e, bm_e, emb_g)[:, 0:3] * inv_scale
+    pts = pin[:, 0:3]
     small = jnp.concatenate([pts, grad, jnp.zeros((T, 122), jnp.float32)], axis=1)
     featp = _rup(featd)
     feat_block = feat if featd == featp else jnp.concatenate(
@@ -625,7 +656,8 @@ def _bwd_kernel(meta, T, bf16, refs):
 
     # color forward (store inputs)
     Cs = []
-    h = jnp.concatenate([small, dirs_c_ref[:], feat_block], axis=1)
+    li = L
+    h = jnp.concatenate([small, dirs_c, feat_block], axis=1)
     for l in range(meta.n_color):
         Cs.append(h.astype(store))
         h = _kdot(h, w_refs[li][:], bf16) + b_refs[li][:]
@@ -639,7 +671,7 @@ def _bwd_kernel(meta, T, bf16, refs):
     Rs = []
     if meta.n_relight > 0:
         gc_block = jnp.concatenate([gc, jnp.zeros((T, 125), jnp.float32)], axis=1)
-        h = jnp.concatenate([small, dirs_r_ref[:]], axis=1)
+        h = jnp.concatenate([small, dirs_r], axis=1)
         for l in range(meta.n_relight):
             kind, in_p, out_p, out_real = meta.layers[li]
             if l > 0:
@@ -693,7 +725,7 @@ def _bwd_kernel(meta, T, bf16, refs):
             Xl = Rs[l].astype(jnp.float32)
             w_hat_refs[li_l][:] += _kdot_b(Xl, hbar, bf16)
             b_hat_refs[li_l][:] += jnp.sum(hbar, axis=0, keepdims=True)
-            xbar = _kdot_t(hbar, w_refs[li_l][:], bf16)
+            xbar = _kdot(hbar, wt_refs[li_l][:], bf16)
             if kind == "relight_yin":
                 gc_from_yin = gc_from_yin + xbar[:, 0:3]
                 xbar = xbar[:, 128:]
@@ -727,7 +759,7 @@ def _bwd_kernel(meta, T, bf16, refs):
         Xl = Cs[l].astype(jnp.float32)
         w_hat_refs[li_l][:] += _kdot_b(Xl, hbar, bf16)
         b_hat_refs[li_l][:] += jnp.sum(hbar, axis=0, keepdims=True)
-        xbar = _kdot_t(hbar, w_refs[li_l][:], bf16)
+        xbar = _kdot(hbar, wt_refs[li_l][:], bf16)
         if l > 0:
             hbar = xbar * (Xl > 0.0)
     pts_hat = pts_hat + xbar[:, 0:3]
@@ -735,61 +767,94 @@ def _bwd_kernel(meta, T, bf16, refs):
     dirs_c_hat = xbar[:, 128:256]
     feat_hat = xbar[:, 256:256 + featd]
 
-    # ---------- sdf chain reverse (second order) ----------
-    Zh_bar = jnp.concatenate(
-        [sdf_hat * inv_scale, feat_hat,
-         jnp.zeros((T, sdf_out_p - 1 - featd), jnp.float32)], axis=1)
-    gh_t = jnp.transpose(grad_hat, (1, 0)) * inv_scale          # [3, T]
-    ZU_bar = jnp.concatenate(
-        [gh_t[:, :, None], jnp.zeros((3, T, sdf_out_p - 1), jnp.float32)], axis=2)
+    # ---------- sdf chain: second-order reverse-over-forward ----------
+    # <grad, grad_hat> = inv_scale * directional derivative of f0_raw
+    # along grad_hat, so run ONE tangent stream v along grad_hat through
+    # the (recomputed) value chain, then reverse value+tangent jointly.
+    # The last layer's tangent cotangent is inv_scale*e0, so its GEMMs
+    # degenerate: u_{L-1} only enters via a column-0 rank-1 update and
+    # u_bar_{L-1} is just a broadcast weight column.
+    phase_t = jnp.dot(grad_hat, bm_e[0:3],
+                      preferred_element_type=jnp.float32)     # [T, d0p]
+    J_e = (bm_e[8:9] + jnp.cos(phase_e) * bm_e[9:10]
+           - jnp.sin(phase_e) * bm_e[10:11])
+    v0 = phase_t * J_e                                  # d emb . grad_hat
+    Us = []            # tangent layer inputs u_l (l < L-1), store dtype
+    Zs = []            # tangent pre-gates z_l (l < L-1), store dtype
+    v = v0
+    for l in range(L - 1):
+        kind, in_p, out_p, out_real = meta.layers[l]
+        if kind == "sdf_skip":
+            v = jnp.concatenate([v, v0], axis=1) * inv_sqrt2
+        Us.append(v.astype(store))
+        z = _kdot(v, w_refs[l][:], bf16)
+        Zs.append(z.astype(store))
+        v = Gs[l] * z
+    kindL, in_pL, out_pL, _ = meta.layers[L - 1]
+    uL = (jnp.concatenate([v, v0], axis=1) * inv_sqrt2
+          if kindL == "sdf_skip" else v)                # [T, in_pL]
 
     emb_hat = jnp.zeros((T, meta.d0p), jnp.float32)
-    tang_hat = jnp.zeros((3, T, meta.d0p), jnp.float32)
+    v0_hat = jnp.zeros((T, meta.d0p), jnp.float32)
 
-    for l in range(meta.n_sdf - 1, -1, -1):
+    # last layer: value cotangent ybar, tangent cotangent inv_scale*e0
+    ybar = jnp.concatenate(
+        [sdf_hat * inv_scale, feat_hat,
+         jnp.zeros((T, sdf_out_p - 1 - featd), jnp.float32)], axis=1)
+    wtL = wt_refs[L - 1][:]
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (in_pL, out_pL), 1)
+            == 0).astype(jnp.float32)
+    w_hat_refs[L - 1][:] += _kdot_b(Xs[L - 1].astype(jnp.float32), ybar, bf16) \
+        + col0 * (inv_scale * jnp.sum(uL, axis=0))[:, None]
+    b_hat_refs[L - 1][:] += jnp.sum(ybar, axis=0, keepdims=True)
+    hbar = _kdot(ybar, wtL, bf16)                       # cot of x_{L-1}
+    ubar = jnp.broadcast_to(wtL[0:1, :], (T, in_pL)) * inv_scale
+    if kindL == "sdf_skip":
+        h_p = in_pL - meta.d0p
+        emb_hat = emb_hat + hbar[:, h_p:] * inv_sqrt2
+        v0_hat = v0_hat + ubar[:, h_p:] * inv_sqrt2
+        hbar = hbar[:, :h_p] * inv_sqrt2
+        ubar = ubar[:, :h_p] * inv_sqrt2
+
+    for l in range(L - 2, -1, -1):
         kind, in_p, out_p, out_real = meta.layers[l]
-        Xh = Xhs[l].astype(jnp.float32)
-        XU = XUs[l].astype(jnp.float32)
-        if l < meta.n_sdf - 1:
-            # gate backward: (Zh_bar, ZU_bar) currently are cotangents of
-            # (h_{l+1}, U_{l+1}); use the stored f32 pre-activations (bf16
-            # is not precise enough for the beta=100 sigma'' term)
-            a = As[l]
-            v = Vs[l].astype(jnp.float32)
-            sp1 = _dsoftplus100(a)
-            sp2 = _d2softplus100(a)
-            abar = sp1 * Zh_bar + sp2 * jnp.sum(v * ZU_bar, axis=0)
-            Zh_bar = abar
-            ZU_bar = sp1[None] * ZU_bar
-        # weight/bias grads + input cotangents
-        w_hat_refs[l][:] += _kdot_b(Xh, Zh_bar, bf16) + _kdot_b(
-            XU.reshape(3 * T, in_p), ZU_bar.reshape(3 * T, out_p), bf16)
-        b_hat_refs[l][:] += jnp.sum(Zh_bar, axis=0, keepdims=True)
-        Xh_bar = _kdot_t(Zh_bar, w_refs[l][:], bf16)
-        XU_bar = _kdot_t(ZU_bar.reshape(3 * T, out_p), w_refs[l][:],
-                         bf16).reshape(3, T, in_p)
+        # incoming: hbar = cot of h_{l+1} = softplus(a_l),
+        #           ubar = cot of v_{l+1} = g_l * z_l
+        g = Gs[l]
+        z = Zs[l].astype(jnp.float32)
+        abar = g * hbar + (ubar * z) * (100.0 * g * (1.0 - g))
+        zbar = g * ubar
+        w_hat_refs[l][:] += _kdot_b(Xs[l].astype(jnp.float32), abar, bf16) \
+            + _kdot_b(Us[l].astype(jnp.float32), zbar, bf16)
+        b_hat_refs[l][:] += jnp.sum(abar, axis=0, keepdims=True)
+        hbar = _kdot(abar, wt_refs[l][:], bf16)
+        ubar = _kdot(zbar, wt_refs[l][:], bf16)
         if kind == "sdf_skip":
             h_p = in_p - meta.d0p
-            emb_hat = emb_hat + Xh_bar[:, h_p:] * inv_sqrt2
-            tang_hat = tang_hat + XU_bar[:, :, h_p:] * inv_sqrt2
-            Xh_bar = Xh_bar[:, :h_p] * inv_sqrt2
-            XU_bar = XU_bar[:, :, :h_p] * inv_sqrt2
-        Zh_bar = Xh_bar   # becomes cotangent of (h_l, U_l) post-gate
-        ZU_bar = XU_bar
+            emb_hat = emb_hat + hbar[:, h_p:] * inv_sqrt2
+            v0_hat = v0_hat + ubar[:, h_p:] * inv_sqrt2
+            hbar = hbar[:, :h_p] * inv_sqrt2
+            ubar = ubar[:, :h_p] * inv_sqrt2
+    emb_hat = emb_hat + hbar
+    v0_hat = v0_hat + ubar
 
-    emb_hat = emb_hat + Zh_bar
-    tang_hat = tang_hat + ZU_bar
-    # tangent-seed pullback: tang_i = (emb @ S) * m_i + c_i  ->
-    # emb_hat += (sum_i tang_hat_i * m_i) @ S (S symmetric)
-    MC = MC_ref[:]
-    G = jnp.sum(tang_hat * MC[0:3][:, None, :], axis=0)
-    emb_hat = emb_hat + jnp.dot(G, S_ref[:], preferred_element_type=jnp.float32)
-    # pts used via small: pts = emb[:, :3] * inv_scale
-    emb_hat = jnp.concatenate(
-        [emb_hat[:, 0:3] + pts_hat * inv_scale, emb_hat[:, 3:]], axis=1)
-    emb_hat_ref[:] = emb_hat
-    dc_hat_ref[:] = dirs_c_hat
-    dr_hat_ref[:] = dirs_r_hat
+    # ---------- pullback through the in-kernel encoders ----------
+    # to the packed input lanes: pts in 0..2, dirs in 4..6
+    pin_hat = _encode_vjp(phase_e, bm_e, emb_hat)
+    # encoder second-derivative: v0 = phase_t * J_e(phase_e); only the
+    # J_e factor depends on pin (phase_t is linear in the constant
+    # cotangent direction grad_hat)
+    dJ = (-jnp.sin(phase_e) * bm_e[9:10] - jnp.cos(phase_e) * bm_e[10:11])
+    pin_hat = pin_hat + jax.lax.dot_general(
+        v0_hat * phase_t * dJ, bm_e[0:8], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat)
+    if meta.n_relight > 0:
+        pin_hat = pin_hat + _encode_vjp(phase_r, bm_r, dirs_r_hat)
+    # pts also used directly via `small`
+    pin_hat = pin_hat + jnp.concatenate(
+        [pts_hat, jnp.zeros((T, 5), jnp.float32)], axis=1)
+    pin_hat_ref[:] = pin_hat
 
 
 def _bwd_kernel_entry(meta, T, bf16, *refs):
@@ -800,57 +865,72 @@ def _bwd_kernel_entry(meta, T, bf16, *refs):
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-def _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
-    n_pad = emb.shape[0]
+def _pallas_fwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r):
+    n_pad = pin.shape[0]
     grid = (n_pad // T,)
-    d0p = meta.d0p
     in_specs = [
-        pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(S.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(MC.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_e.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_r.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    for w in ws:
+    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
+    # halves the resident weight footprint (~3 MB of scoped VMEM).
+    # wts = pre-transposed sdf weights for the reverse grad sweep (the
+    # transpose happens ONCE per step in XLA, not per tile in the kernel)
+    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    wts_in = tuple(w.T for w in ws_in[:meta.n_sdf])
+    for w in ws_in:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for wt in wts_in:
+        in_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     for b in bs:
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    kw = {} if interpret else {
+        # the fully-unrolled 17-layer chain's stack exceeds the default
+        # 16 MB scoped-vmem cap; v5e has 128 MB of VMEM
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}
     return pl.pallas_call(
         partial(_fwd_kernel_entry, meta, T, not interpret),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        out_specs=pl.BlockSpec((T, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 16), jnp.float32),
         interpret=interpret,
-    )(emb, S, MC, dc, dr, *ws, *bs)
+        **kw,
+    )(pin, bm_e, bm_c, bm_r, *ws_in, *wts_in, *bs)
 
 
-def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
-    n_pad = emb.shape[0]
+def _pallas_bwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r,
+                     gbar):
+    n_pad = pin.shape[0]
     grid = (n_pad // T,)
-    d0p = meta.d0p
     in_specs = [
-        pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(S.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(MC.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_e.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bm_r.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    for w in ws:
+    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
+    # halves the resident weight footprint (grad accumulators stay f32).
+    # wts = ALL weights pre-transposed (once per step in XLA) for the
+    # x_bar pullback dots
+    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    wts_in = tuple(w.T for w in ws_in)
+    for w in ws_in:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for wt in wts_in:
+        in_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     for b in bs:
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
     out_specs = [
-        pl.BlockSpec((T, d0p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_pad, d0p), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
     ]
     for w in ws:
         out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
@@ -859,9 +939,12 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
         out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
 
-    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
-    # halves the resident weight footprint (grad accumulators stay f32)
-    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    kw = {} if interpret else {
+        # grid steps accumulate into the same w_hat/b_hat blocks: the
+        # grid axis must stay sequential ("arbitrary"); stack see fwd
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)}
     outs = pl.pallas_call(
         partial(_bwd_kernel_entry, meta, T, not interpret),
         grid=grid,
@@ -869,34 +952,35 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr, gbar):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(emb, S, MC, dc, dr, gbar, *ws_in, *bs)
+        **kw,
+    )(pin, bm_e, bm_c, bm_r, gbar, *ws_in, *wts_in, *bs)
     n_w = len(ws)
-    emb_hat, dc_hat, dr_hat = outs[:3]
-    w_hats = list(outs[3:3 + n_w])
-    b_hats = list(outs[3 + n_w:])
-    return emb_hat, dc_hat, dr_hat, w_hats, b_hats
+    pin_hat = outs[0]
+    w_hats = list(outs[1:1 + n_w])
+    b_hats = list(outs[1 + n_w:])
+    return pin_hat, w_hats, b_hats
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pipeline_core(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
-    return _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr)
+def _pipeline_core(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r):
+    return _pallas_fwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r)
 
 
-def _pipeline_core_fwd(meta, T, interpret, ws, bs, emb, S, MC, dc, dr):
-    out = _pallas_fwd_call(meta, T, interpret, ws, bs, emb, S, MC, dc, dr)
-    return out, (ws, bs, emb, S, MC, dc, dr)
+def _pipeline_core_fwd(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r):
+    out = _pallas_fwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r)
+    return out, (ws, bs, pin, bm_e, bm_c, bm_r)
 
 
 def _pipeline_core_bwd(meta, T, interpret, res, gbar):
-    ws, bs, emb, S, MC, dc, dr = res
+    ws, bs, pin, bm_e, bm_c, bm_r = res
     # the bwd kernel stores per-layer activations in VMEM — use a smaller
     # tile than the (storage-free) forward so the working set fits
     T_bwd = math.gcd(T, _BWD_TILE[0])
-    emb_hat, dc_hat, dr_hat, w_hats, b_hats = _pallas_bwd_call(
-        meta, T_bwd, interpret, ws, bs, emb, S, MC, dc, dr, gbar)
-    # S/MC are constants: zero cotangents
-    return (tuple(w_hats), tuple(b_hats), emb_hat,
-            jnp.zeros_like(S), jnp.zeros_like(MC), dc_hat, dr_hat)
+    pin_hat, w_hats, b_hats = _pallas_bwd_call(
+        meta, T_bwd, interpret, ws, bs, pin, bm_e, bm_c, bm_r, gbar)
+    # the pe bases are constants: zero cotangents
+    return (tuple(w_hats), tuple(b_hats), pin_hat,
+            jnp.zeros_like(bm_e), jnp.zeros_like(bm_c), jnp.zeros_like(bm_r))
 
 
 _pipeline_core.defvjp(_pipeline_core_fwd, _pipeline_core_bwd)
@@ -907,17 +991,18 @@ def fused_point_pipeline(dense: dict, rcfg: RendererConfig,
                          tile: int = 256, interpret: bool = False):
     """Differentiable fused pipeline: outputs match point_pipeline_ref;
     gradients flow to `dense` (through the padding pack) and to pts/dirs
-    (through pe_inputs, handled by XLA autodiff — including the PE
-    second-derivative path feeding the tangent seeds)."""
+    (through the packed-input pullback computed in the backward kernel —
+    including the PE second-derivative path feeding the tangent seeds)."""
     ws, bs, meta = pack_pipeline_weights(dense, rcfg)
     n = pts.shape[0]
     n_pad = _rup(max(n, tile), tile)
     pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
     dirs_p = jnp.zeros((n_pad, 3), dirs.dtype).at[:n].set(dirs)
-    emb, dc, dr = pe_inputs(rcfg, pts_p, dirs_p)
-    S, MC = tangent_basis(rcfg)
+    pin = pack_point_inputs(pts_p, dirs_p)
+    bm_e, bm_c, bm_r = pe_bases(rcfg)
     out = _pipeline_core(meta, tile, interpret, tuple(ws), tuple(bs),
-                         emb, jax.lax.stop_gradient(S),
-                         jax.lax.stop_gradient(MC), dc, dr)
+                         pin, jax.lax.stop_gradient(bm_e),
+                         jax.lax.stop_gradient(bm_c),
+                         jax.lax.stop_gradient(bm_r))
     return (out[:n, 0:1], out[:n, 1:4], out[:n, 4:7],
             out[:n, 7:10], out[:n, 10:13])

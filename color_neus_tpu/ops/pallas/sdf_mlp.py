@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from color_neus_tpu.models.configs import SDFConfig
-from color_neus_tpu.ops.embedding import positional_encoding, embedding_dim
+from color_neus_tpu.ops.embedding import embedding_dim
 
 
 def _round_up(x: int, m: int) -> int:
@@ -111,12 +111,18 @@ def _softplus100(x):
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
-def _sdf_mlp_kernel(meta, n_lin, emb_ref, *refs):
+def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
     ws = refs[:n_lin]
     bs = refs[n_lin:2 * n_lin]
     out_ref = refs[2 * n_lin]
 
-    emb = emb_ref[:]                         # [T, d0p]
+    # in-kernel positional encoding from the packed [T, 8] input (see
+    # point_pipeline.pe_basis): one tiny MXU dot + sin/cos on the VPU —
+    # no [N, d0p] embedding array ever touches HBM
+    bm = bm_ref[:]
+    phase = jnp.dot(pin_ref[:], bm[0:8], preferred_element_type=jnp.float32)
+    emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
+           + jnp.cos(phase) * bm[10:11])
     h = emb
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for l in range(n_lin):
@@ -127,7 +133,7 @@ def _sdf_mlp_kernel(meta, n_lin, emb_ref, *refs):
         h = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
         if l < n_lin - 1:
             h = _softplus100(h)
-    out_ref[:] = h                            # [T, 128], col 0 = raw sdf
+    out_ref[:] = h[:, 0:8]                    # [T, 8], col 0 = raw sdf
 
 
 def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
@@ -142,39 +148,46 @@ def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
 
     ws, bs, meta = pack_sdf_weights(params, cfg)
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
+    bm = pe_basis(cfg.multires, cfg.scale, 0, d0p)
 
     kernel = partial(_sdf_mlp_kernel, meta, n_lin)
 
     def sdf_fn(pts: jnp.ndarray) -> jnp.ndarray:
         n = pts.shape[0]
         n_pad = _round_up(max(n, tile), tile)
-        pts_p = jnp.zeros((n_pad, 3), pts.dtype).at[:n].set(pts)
-        emb = positional_encoding(pts_p * meta["scale"], cfg.multires) \
-            if cfg.multires > 0 else pts_p * meta["scale"]
-        embp = jnp.zeros((n_pad, d0p), emb.dtype).at[:, :meta["d0"]].set(emb)
+        pin = jnp.zeros((n_pad, 8), pts.dtype).at[:n, 0:3].set(pts)
 
         grid = (n_pad // tile,)
-        in_specs = [pl.BlockSpec((tile, d0p), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
+        in_specs = [
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bm.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
         for w in ws:
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         for b in bs:
             in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
+        kw = {} if interpret else {
+            # unrolled 9-layer chain: allow more than the 16 MB default
+            # scoped-vmem stack (v5e has 128 MB)
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
             interpret=interpret,
-        )(embp, *ws, *bs)
+            **kw,
+        )(pin, bm, *ws, *bs)
         return out[:n, 0] / meta["scale"]
 
     return sdf_fn

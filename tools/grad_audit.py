@@ -1,18 +1,26 @@
-"""On-device gradient audit of the fused Pallas backward kernel.
+"""On-TPU gradient audit of the fused backward kernel (VERDICT r1 #4).
 
-Compares parameter gradients of the production path (fused point-pipeline
-kernels, bf16 activation storage in the hand-written second-order VJP)
-against the plain XLA f32 path on IDENTICAL inputs at the flagship
-Color-NeuS config (SDF 8x256 PE6, 64+64x4 hierarchical sampling), through
-the REAL training loss (rgb MSE + eikonal + mask BCE + relight zero-mean
-— NeuS_Trainer.py:129-171 semantics).
+Compares jax.grad of a composite scalar loss over the FULL render
+(hierarchical sampling + core + second-order eikonal) between
 
-Prints one JSON object with per-parameter-group max relative error and
-writes it to GRAD_AUDIT.json. Run on the TPU (the fused path does not
-exist elsewhere):
+  * the production fused path   (rcfg.fused_core='on': Pallas kernels,
+    bf16 activation stores, bf16 MXU dots), and
+  * the pure-XLA f32 oracle     (rcfg.fused_core='off')
 
-    python tools/grad_audit.py            # full bench-shape audit
-    GRAD_AUDIT_RAYS=256 python tools/grad_audit.py
+on identical flagship-config inputs (Color-NeuS 8x256/PE6 SDF,
+4x256 color, 4x256 relight, 256+256 samples/ray), and reports max
+relative error and cosine similarity per parameter group as ONE JSON
+line (also written to reports/grad_audit.json when WRITE_REPORT=1).
+
+The no-grad sampling sweeps run the XLA path in BOTH variants
+(fused_sdf='off') so the two gradients see identical sample positions —
+the audit isolates the backward kernel, not z-jitter.
+
+Run on the bench chip:   python tools/grad_audit.py
+CI (CPU, interpret):     AUDIT_INTERPRET=1 python tools/grad_audit.py
+
+Reference semantics audited: NeuS.py:294-408 forward + the
+fields.py:105-115 double-backprop path.
 """
 
 from __future__ import annotations
@@ -26,85 +34,97 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def tree_group_errors(g_ref, g_fused):
-    """Per top-level param group: max |fused - ref| / scale, where scale is
-    the max |ref| of the group (relative-to-group-scale error)."""
-    import jax
-
-    report = {}
-    for group in g_ref:
-        ref_leaves = jax.tree_util.tree_leaves(g_ref[group])
-        fus_leaves = jax.tree_util.tree_leaves(g_fused[group])
-        scale = max(max(float(abs(l).max()) for l in ref_leaves), 1e-12)
-        max_abs = max(float(abs(a - b).max())
-                      for a, b in zip(fus_leaves, ref_leaves))
-        report[group] = {
-            "ref_scale": scale,
-            "max_abs_err": max_abs,
-            "max_rel_err": max_abs / scale,
-        }
-    return report
+def _flatten(prefix, tree, out):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(f"{prefix}/{k}" if prefix else k, v, out)
+    else:
+        out[prefix] = np.asarray(tree, np.float64)
 
 
 def main():
+    if os.environ.get("AUDIT_INTERPRET"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
-    import dataclasses
-    from color_neus_tpu.models.configs import RendererConfig, ColorConfig
+
+    from color_neus_tpu.models.configs import ColorConfig, RendererConfig
     from color_neus_tpu.models import neus
     from color_neus_tpu.ops.rays import near_far_from_sphere
 
-    n_rays = int(os.environ.get("GRAD_AUDIT_RAYS", 512))
-
-    base = RendererConfig(
-        kind="color_neus",
-        n_samples=64, n_importance=64, up_sample_steps=4,
+    n_rays = int(os.environ.get("AUDIT_N_RAYS", 512))
+    interpret = bool(os.environ.get("AUDIT_INTERPRET"))
+    rcfg = RendererConfig(
+        kind="color_neus", n_samples=256, n_importance=256, up_sample_steps=4,
         color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
     )
-    plain = dataclasses.replace(base, fused_sdf="off", fused_core="off")
-    fused = dataclasses.replace(base, fused_sdf="on", fused_core="on")
+    if interpret:
+        rcfg = dataclasses.replace(rcfg, n_samples=64, n_importance=64,
+                                   up_sample_steps=2)
+        n_rays = min(n_rays, 32)
 
-    params = neus.init_renderer(jax.random.PRNGKey(3), base)
+    params = neus.init_renderer(jax.random.PRNGKey(0), rcfg)
+    ko, kd = jax.random.split(jax.random.PRNGKey(1))
+    o = jax.random.normal(ko, (n_rays, 3))
+    o = o / jnp.linalg.norm(o, axis=1, keepdims=True) * 1.5
+    d = -o / 1.5 + 0.15 * jax.random.normal(kd, (n_rays, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    near, far = near_far_from_sphere(o, d)
 
-    rng = np.random.RandomState(0)
-    d = rng.randn(n_rays, 3)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    o = (-2.4 * d + 0.1 * rng.randn(n_rays, 3)).astype(np.float32)
-    rays_o = jnp.asarray(o)
-    rays_d = jnp.asarray(d, jnp.float32)
-    near, far = near_far_from_sphere(rays_o, rays_d)
-    rgb_gt = jnp.asarray(rng.rand(n_rays, 3), jnp.float32)
-    mask = jnp.asarray((rng.rand(n_rays) > 0.4), jnp.float32)
-
-    def loss_fn(params, rcfg):
-        out = neus.render_rays(params, rcfg, rays_o, rays_d, near, far,
+    def loss_fn(p, variant):
+        cfg2 = dataclasses.replace(rcfg, fused_core=variant, fused_sdf="off")
+        out = neus.render_rays(p, cfg2, o, d, near, far,
+                               key=jax.random.PRNGKey(2),
                                perturb_overwrite=0.0)
-        rgb = jnp.mean((out["color_fine"] - rgb_gt) ** 2)
-        eik = out["gradient_error"]
-        ws = jnp.clip(out["weight_sum"].squeeze(-1), 1e-3, 1 - 1e-3)
-        m = -jnp.mean(mask * jnp.log(ws) + (1 - mask) * jnp.log(1 - ws))
-        rel = jnp.mean(out["delta_relight"] * mask[:, None, None]) ** 2
-        return rgb + 0.1 * eik + 0.1 * m + rel
+        return (jnp.mean(out["color_fine"])
+                + out["gradient_error"]
+                + jnp.mean(out["weight_sum"])
+                + jnp.mean(out["delta_relight"] ** 2)
+                + jnp.mean(out["global_color"]))
 
-    g_plain = jax.jit(jax.grad(lambda p: loss_fn(p, plain)))(params)
-    g_fused = jax.jit(jax.grad(lambda p: loss_fn(p, fused)))(params)
-    g_plain = jax.tree_util.tree_map(np.asarray, g_plain)
-    g_fused = jax.tree_util.tree_map(np.asarray, g_fused)
+    fused_variant = "interpret" if interpret else "on"
+    g_fused = jax.jit(jax.grad(lambda p: loss_fn(p, fused_variant)))(params)
+    g_xla = jax.jit(jax.grad(lambda p: loss_fn(p, "off")))(params)
+
+    ff, fx = {}, {}
+    _flatten("", jax.device_get(g_fused), ff)
+    _flatten("", jax.device_get(g_xla), fx)
+
+    groups = {}
+    worst = {"leaf": None, "rel": 0.0}
+    for name in sorted(fx):
+        a, b = ff[name].ravel(), fx[name].ravel()
+        nb = float(np.linalg.norm(b))
+        rel = float(np.linalg.norm(a - b) / (nb + 1e-30)) if nb > 0 else \
+            float(np.linalg.norm(a))
+        cos = float(np.dot(a, b) / ((np.linalg.norm(a) * nb) + 1e-30)) \
+            if nb > 0 else 1.0
+        grp = name.split("/")[0]
+        g = groups.setdefault(grp, {"max_rel_err": 0.0, "min_cos": 1.0})
+        g["max_rel_err"] = max(g["max_rel_err"], rel)
+        g["min_cos"] = min(g["min_cos"], cos)
+        if rel > worst["rel"]:
+            worst = {"leaf": name, "rel": rel}
 
     report = {
-        "workload": f"{n_rays} rays x 128 samples, flagship Color-NeuS, "
-                    "real training loss",
+        "config": "color_neus 8x256/PE6 + 4x256 color + 4x256 relight",
+        "samples_per_ray": rcfg.n_samples + rcfg.n_importance,
+        "n_rays": n_rays,
+        "fused_variant": fused_variant,
         "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-        "groups": tree_group_errors(g_plain, g_fused),
+        "groups": {k: {kk: round(vv, 6) for kk, vv in v.items()}
+                   for k, v in sorted(groups.items())},
+        "worst_leaf": {"name": worst["leaf"], "rel_err": round(worst["rel"], 6)},
     }
-    report["max_rel_err_overall"] = max(
-        g["max_rel_err"] for g in report["groups"].values())
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "GRAD_AUDIT.json")
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
     print(json.dumps(report))
+    if os.environ.get("WRITE_REPORT"):
+        os.makedirs("reports", exist_ok=True)
+        with open("reports/grad_audit.json", "w") as f:
+            json.dump(report, f, indent=1)
+    return report
 
 
 if __name__ == "__main__":

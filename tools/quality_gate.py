@@ -1,0 +1,102 @@
+"""Trained-quality regression gate (VERDICT r1 #5): one command, one JSON.
+
+Trains the flagship Color-NeuS model on the analytic-sphere synthetic
+dataset for QG_STEPS steps (default 1000) on whatever platform JAX
+selects (the bench TPU in the bench environment; CPU in CI with
+QG_STEPS lowered), then:
+
+  * renders a held-out view and computes PSNR/SSIM vs the analytic GT,
+  * extracts the mesh at QG_RES^3 (default 128) and measures the mean /
+    p95 absolute radial error of the vertices against the true sphere
+    (radius 0.5 — a chamfer-to-analytic-surface distance),
+
+and prints ONE JSON line with a pass/fail verdict.
+
+    python tools/quality_gate.py
+    QG_STEPS=200 QG_RES=64 QG_CPU=1 python tools/quality_gate.py   # smoke
+
+Thresholds (QG_STEPS>=1000): PSNR >= 30 dB (round-1 measured 41.2),
+radial error mean <= 0.01. Reference equivalent: the eyeballed
+validate_image / validate_mesh loop of NeuS_Trainer.py:216-307.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    steps = int(os.environ.get("QG_STEPS", 1000))
+    res = int(os.environ.get("QG_RES", 128))
+    if os.environ.get("QG_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from color_neus_tpu.utils.config import get_config
+    from color_neus_tpu.runtime import TrainLoop
+    from color_neus_tpu.models import trainer as TR
+    from color_neus_tpu.utils.metrics import psnr as psnr_fn, ssim as ssim_fn
+
+    class _A:  # minimal arg shim for get_config overrides
+        batch_size = None
+        reload = None
+        obj_id = None
+        iterations = steps
+        data_root = None
+
+    cfg = get_config("config/Color_NeuS_synthetic.yml", _A())
+    loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}",
+                     require_clean_git=False)
+    loop.run()
+
+    # held-out view: camera 0, deterministic key
+    if loop._chunk_fn is None:
+        loop._chunk_fn = TR.make_render_image_fn(loop.tcfg)
+    rgb, _depth = TR.render_image(loop.state["params"], loop.scene, loop.tcfg,
+                                  0, loop.H, loop.W, jax.random.PRNGKey(7),
+                                  chunk_fn=loop._chunk_fn)
+    gt = np.asarray(loop.images[0])
+    p = float(psnr_fn(np.clip(rgb, 0, 1), gt))
+    s = float(ssim_fn(np.clip(rgb, 0, 1), gt))
+
+    out = loop.validate_mesh(steps, resolution=res, world_space=True)
+    if out is None:
+        verdict = {"psnr": round(p, 2), "ssim": round(s, 4), "mesh": "EMPTY",
+                   "pass": False}
+        print(json.dumps(verdict))
+        return verdict
+    verts, tris, _colors = out
+    r = np.linalg.norm(verts, axis=1)
+    rad_err = np.abs(r - 0.5)
+    mean_err = float(rad_err.mean())
+    p95_err = float(np.percentile(rad_err, 95))
+
+    gate_psnr = 30.0 if steps >= 1000 else 18.0
+    gate_err = 0.01 if steps >= 1000 else 0.05
+    verdict = {
+        "steps": steps, "resolution": res,
+        "platform": jax.devices()[0].platform,
+        "psnr": round(p, 2), "ssim": round(s, 4),
+        "n_verts": int(len(verts)), "n_tris": int(len(tris)),
+        "radial_err_mean": round(mean_err, 5),
+        "radial_err_p95": round(p95_err, 5),
+        "gates": {"psnr_min": gate_psnr, "radial_err_mean_max": gate_err},
+        "pass": bool(p >= gate_psnr and mean_err <= gate_err),
+    }
+    print(json.dumps(verdict))
+    if os.environ.get("WRITE_REPORT"):
+        os.makedirs("reports", exist_ok=True)
+        with open("reports/quality_gate.json", "w") as f:
+            json.dump(verdict, f, indent=1)
+    return verdict
+
+
+if __name__ == "__main__":
+    main()
