@@ -88,7 +88,7 @@ class RendererConfig:
     # custom VJP): auto | on | off | interpret
     fused_core: str = "auto"
     # point-tile size for the fused pipeline kernels
-    fused_tile: int = 256
+    fused_tile: int = 512
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -132,7 +132,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         ray_chunk=_lower_get(rcfg, "RAY_CHUNK", 0),
         fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
         fused_core=_lower_get(rcfg, "FUSED_CORE", "auto"),
-        fused_tile=_lower_get(rcfg, "FUSED_TILE", 256),
+        fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -567,7 +567,7 @@ def _fwd_kernel_entry(meta, T, bf16, *refs):
 _BWD_STORE = [jnp.bfloat16]
 # bwd tile: per-layer activation storage (x, u bf16; gate f32; z bf16)
 # is ~10 B/elem vs the 3-stream formulation's ~18 — 256 fits post-rewrite
-_BWD_TILE = [128]
+_BWD_TILE = [256]
 
 
 def _dsoftplus100(a):
