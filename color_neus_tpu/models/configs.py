@@ -87,6 +87,9 @@ class RendererConfig:
     # fused per-point pipeline (sdf+grad+color+relight in one kernel with
     # custom VJP): auto | on | off | interpret
     fused_core: str = "auto"
+    # fused ray-march training core (MLP + compositing + loss partials in
+    # one kernel; loss path only): auto | on | off | interpret
+    fused_march: str = "auto"
     # point-tile size for the fused pipeline kernels
     fused_tile: int = 512
     # render-core ray chunking with rematerialization: activation memory is
@@ -132,6 +135,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         ray_chunk=_lower_get(rcfg, "RAY_CHUNK", 0),
         fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
         fused_core=_lower_get(rcfg, "FUSED_CORE", "auto"),
+        fused_march=_lower_get(rcfg, "FUSED_MARCH", "auto"),
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(

@@ -130,18 +130,21 @@ def merge_z_vals(z_vals, new_z, sdf, new_sdf):
     # rank of each new z: own index + #(old <= it)
     pos_b = jnp.arange(m)[None, :] + jnp.sum(
         z_vals[:, :, None] <= new_z[:, None, :], axis=1)
-    # place by one-hot matmul (MXU) — the scatter formulation lowers to
-    # scalar-core 1-D scatters (~2x slower, measured); exact since each
-    # output slot receives exactly one contribution
+    # place by equality-masked sum reduction: each output slot receives
+    # exactly one contribution, and the [R, n, n+m] intermediate stays
+    # virtual inside one XLA reduce fusion (the scatter formulation
+    # lowers to scalar-core 1-D scatters, ~2x slower measured; the
+    # one-hot MXU dot materialized GB-scale one-hots through HBM)
     k = jnp.arange(n + m)
-    oh_a = (pos_a[:, :, None] == k).astype(z_vals.dtype)
-    oh_b = (pos_b[:, :, None] == k).astype(z_vals.dtype)
-    z = jnp.einsum("rn,rnk->rk", z_vals, oh_a) + \
-        jnp.einsum("rm,rmk->rk", new_z, oh_b)
+
+    def _place(vals, pos):
+        return jnp.sum(jnp.where(pos[:, :, None] == k,
+                                 vals[:, :, None], 0.0), axis=1)
+
+    z = _place(z_vals, pos_a) + _place(new_z, pos_b)
     if sdf is None:
         return z, None
-    s = jnp.einsum("rn,rnk->rk", sdf, oh_a) + \
-        jnp.einsum("rm,rmk->rk", new_sdf, oh_b)
+    s = _place(sdf, pos_a) + _place(new_sdf, pos_b)
     return z, s
 
 
@@ -328,6 +331,72 @@ def render_core_neus(params, rcfg: RendererConfig, rays_o, rays_d, z_vals, sampl
         "eik_den": eik_den,
         "inside_sphere": inside,
     }
+
+
+def _use_fused_march(rcfg: RendererConfig) -> bool:
+    if rcfg.fused_march == "off" or rcfg.n_outside > 0:
+        return False
+    if rcfg.fused_march in ("on", "interpret"):
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def render_rays_train(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
+                      key=None, perturb_overwrite: float = -1.0):
+    """Loss-path renderer: returns ONLY what compute_loss and the train
+    aux consume (color_fine, weight_sum, gradient_error, the
+    delta_relight per-ray sums, s_val).
+
+    On TPU this runs the fused ray-march kernel (ops/pallas/ray_march):
+    MLP + NeuS compositing + per-ray loss partials in one VMEM-resident
+    pass — per ray HBM sees 8 floats of rays, S z-values, 16 outputs.
+    Elsewhere (or fused_march='off') it reduces the full render_rays
+    output to the same dict, so the two paths are interchangeable.
+    """
+    R = rays_o.shape[0]
+    S = rcfg.n_samples + rcfg.n_importance
+    if not _use_fused_march(rcfg):
+        out = render_rays(params, rcfg, rays_o, rays_d, near, far, key=key,
+                          perturb_overwrite=perturb_overwrite)
+        ret = {
+            "color_fine": out["color_fine"],
+            "weight_sum": out["weight_sum"],
+            "gradient_error": out["gradient_error"],
+            "s_val": out["s_val"],
+            "n_samples_total": S,
+        }
+        if "delta_relight" in out:
+            ret["delta_sum"] = jnp.sum(out["delta_relight"], axis=(1, 2))
+        return ret
+
+    from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
+    from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
+    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_fn
+
+    sdf_fn = (resolve_sdf_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+              if rcfg.fused_sdf != "off" and rcfg.n_importance > 0 else None)
+    z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
+                                 key=key, perturb_overwrite=perturb_overwrite,
+                                 sdf_fn=sdf_fn)
+    dense = resolve_dense(params, rcfg)
+    inv_s = fields.variance_inv_s(params["variance"])
+    out16 = fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
+                            interpret=(rcfg.fused_march == "interpret"))
+    ek_num = jnp.sum(out16[:, 5])
+    ek_den = jnp.sum(out16[:, 6])
+    ret = {
+        "color_fine": out16[:, 0:3],
+        "weight_sum": out16[:, 3:4],
+        "gradient_error": ek_num / (ek_den + 1e-5),
+        "s_val": jnp.broadcast_to(1.0 / inv_s, (R, 1)),
+        "n_samples_total": S,
+    }
+    if rcfg.kind == "color_neus":
+        ret["delta_sum"] = out16[:, 4]
+    return ret
 
 
 def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,

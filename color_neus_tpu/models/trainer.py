@@ -233,6 +233,16 @@ def compute_loss(cfg: TrainerConfig, render: dict):
         relight_loss = jnp.mean(delta) ** 2
         loss = loss + cfg.lambda_relight * relight_loss
         loss_dict["relight_loss"] = relight_loss
+    elif cfg.lambda_relight != 0 and "delta_sum" in render:
+        # per-ray sums from the fused ray-march path: mean over the full
+        # [R, S, 3] delta tensor == sum(mask_r * dsum_r) / (R*S*3)
+        dsum = render["delta_sum"]
+        if render.get("mask") is not None:
+            dsum = dsum * render["mask"]
+        n_el = dsum.shape[0] * render["n_samples_total"] * 3
+        relight_loss = (jnp.sum(dsum) / n_el) ** 2
+        loss = loss + cfg.lambda_relight * relight_loss
+        loss_dict["relight_loss"] = relight_loss
 
     loss_dict["loss"] = loss
     return loss, loss_dict
@@ -283,8 +293,8 @@ def render_random_rays(params, scene, cfg: TrainerConfig, images, masks, img_ids
 
     rays_o = (rays_o - scene["origin"]) / scene["radius"]
     near, far = near_far_from_sphere(rays_o, rays_d)
-    render = neus.render_rays(params["renderer"], cfg.renderer, rays_o, rays_d,
-                              near, far, key=k_perturb)
+    render = neus.render_rays_train(params["renderer"], cfg.renderer,
+                                    rays_o, rays_d, near, far, key=k_perturb)
     render["rgb_map_gt"] = rgb_gt
     render["mask"] = sel_mask
     return render

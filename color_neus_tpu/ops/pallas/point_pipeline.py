@@ -408,24 +408,15 @@ def _kdot_b(a, b, bf16):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(meta, T, bf16, refs):
-    """refs = (pin, bm_e, bm_c, bm_r, *ws, *wts, *bs, out).
-
-    wts are the PRE-transposed sdf weights ([out_p, in_p], transposed
-    once per step in XLA): the reverse grad sweep's a @ W^T contractions
-    become plain row-major dots — no per-tile weight transposes."""
-    n_w = meta["n_sdf"] + meta["n_color"] + meta["n_relight"]
-    n_t = meta["n_sdf"]
-    pin_ref, bm_e_ref, bm_c_ref, bm_r_ref = refs[:4]
-    w_refs = refs[4:4 + n_w]
-    wt_refs = refs[4 + n_w:4 + n_w + n_t]
-    b_refs = refs[4 + n_w + n_t:4 + 2 * n_w + n_t]
-    out_ref = refs[-1]
-
+def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
+                 bm_e_ref, bm_c_ref, bm_r_ref, pin):
+    """Shared in-kernel MLP pipeline forward on a [T, 8] packed input:
+    returns (sdf, grad, gc, relit, delta) as [T, 1/3/3/3/3] values.
+    Used by the per-point forward kernel and the fused ray-march kernel
+    (ops/pallas/ray_march.py)."""
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta["scale"]
 
-    pin = pin_ref[:]                                   # [T, 8]
     emb, phase_e = _encode(pin, bm_e_ref[:])           # [T, d0p]
     dirs_c, _ = _encode(pin, bm_c_ref[:])              # [T, 128]
     if meta["n_relight"] > 0:
@@ -518,7 +509,26 @@ def _fwd_kernel(meta, T, bf16, refs):
     else:
         delta = jnp.zeros((T, 3), jnp.float32)
         relit = gc
+    return sdf, grad, gc, relit, delta
 
+
+def _fwd_kernel(meta, T, bf16, refs):
+    """refs = (pin, bm_e, bm_c, bm_r, *ws, *wts, *bs, out).
+
+    wts are the PRE-transposed sdf weights ([out_p, in_p], transposed
+    once per step in XLA): the reverse grad sweep's a @ W^T contractions
+    become plain row-major dots — no per-tile weight transposes."""
+    n_w = meta["n_sdf"] + meta["n_color"] + meta["n_relight"]
+    n_t = meta["n_sdf"]
+    pin_ref, bm_e_ref, bm_c_ref, bm_r_ref = refs[:4]
+    w_refs = refs[4:4 + n_w]
+    wt_refs = refs[4 + n_w:4 + n_w + n_t]
+    b_refs = refs[4 + n_w + n_t:4 + 2 * n_w + n_t]
+    out_ref = refs[-1]
+
+    sdf, grad, gc, relit, delta = _mlp_forward(
+        meta, T, bf16, w_refs, wt_refs, b_refs,
+        bm_e_ref, bm_c_ref, bm_r_ref, pin_ref[:])
     out = jnp.concatenate(
         [sdf, grad, gc, relit, delta, jnp.zeros((T, 3), jnp.float32)], axis=1)
     out_ref[:] = out                                   # [T, 16]
@@ -597,17 +607,50 @@ def _bwd_kernel(meta, T, bf16, refs):
         for r in b_hat_refs:
             r[:] = jnp.zeros_like(r)
 
+    gbar = gbar_ref[:]
+    pin_hat = _mlp_backward(
+        meta, T, bf16, w_refs, wt_refs, b_refs, w_hat_refs, b_hat_refs,
+        bm_e_ref, bm_c_ref, bm_r_ref, pin_ref[:],
+        gbar[:, 0:1], gbar[:, 1:4], gbar[:, 4:7], gbar[:, 7:10],
+        gbar[:, 10:13])
+    pin_hat_ref[:] = pin_hat
+
+
+def _mlp_backward(meta, T, bf16, w_refs, wt_refs, b_refs,
+                  w_hat_refs, b_hat_refs, bm_e_ref, bm_c_ref, bm_r_ref,
+                  pin, sdf_hat, grad_hat, gc_hat, relit_hat, delta_hat):
+    """Shared in-kernel VJP of _mlp_forward, given cotangents of its five
+    outputs. Accumulates parameter gradients into w_hat/b_hat refs and
+    returns the packed-input cotangent pin_hat [T, 8]. Used by the
+    per-point backward kernel; the fused ray-march backward calls the
+    recompute/pullback halves separately (it needs the recomputed
+    outputs for the compositing backward in between)."""
+    outs, stash = _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
+                                 bm_e_ref, bm_c_ref, bm_r_ref, pin)
+    return _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
+                         w_hat_refs, b_hat_refs, bm_e_ref, bm_c_ref, bm_r_ref,
+                         pin, outs, stash,
+                         sdf_hat, grad_hat, gc_hat, relit_hat, delta_hat)
+
+
+def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
+                   bm_e_ref, bm_c_ref, bm_r_ref, pin):
+    """Backward-pass forward recompute: returns the five _mlp_forward
+    outputs plus the stored activations the pullback needs."""
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta.scale
     featd = meta.feat_dim
-    store = _BWD_STORE[0]  # activation-storage dtype (upcast on use)
+    # activation-storage dtype (upcast on use); f32 when the dots are
+    # f32 (interpret/oracle mode) so interpret is bit-faithful — the
+    # production bf16-store error is quantified by tools/grad_audit.py
+    store = _BWD_STORE[0] if bf16 else jnp.float32
     L = meta.n_sdf
 
-    pin = pin_ref[:]                                   # [T, 8]
     bm_e = bm_e_ref[:]
     bm_c = bm_c_ref[:]
     emb, phase_e = _encode(pin, bm_e)
     dirs_c, phase_c = _encode(pin, bm_c)
+    phase_r = None
     if meta.n_relight > 0:
         bm_r = bm_r_ref[:]
         dirs_r, phase_r = _encode(pin, bm_r)
@@ -682,23 +725,47 @@ def _bwd_kernel(meta, T, bf16, refs):
             h = _kdot(h, w_refs[li][:], bf16) + b_refs[li][:]
             li += 1
         delta = h[:, 0:3]
+        if meta.inv_sigmoid:
+            gcc = jnp.clip(gc, 0.0, 1.0)
+            logit = jnp.log(jnp.maximum(gcc, 1e-5) / jnp.maximum(1.0 - gcc, 1e-5))
+            relit = jax.nn.sigmoid(logit + delta)
+        else:
+            relit = jnp.clip(gc + jax.nn.sigmoid(delta) - 0.5, 0.0, 1.0)
+    else:
+        delta = jnp.zeros((T, 3), jnp.float32)
+        relit = gc
 
-    # ---------- cotangents ----------
-    gbar = gbar_ref[:]
-    sdf_hat = gbar[:, 0:1]
-    grad_hat = gbar[:, 1:4]
-    gc_hat = gbar[:, 4:7]
-    relit_hat = gbar[:, 7:10]
-    delta_hat = gbar[:, 10:13]
+    sdf = y[:, 0:1] * inv_scale
+    outs = (sdf, grad, gc, relit, delta)
+    stash = (Xs, Gs, Cs, Rs, phase_e, phase_c, phase_r)
+    return outs, stash
+
+
+def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
+                  w_hat_refs, b_hat_refs, bm_e_ref, bm_c_ref, bm_r_ref,
+                  pin, outs, stash,
+                  sdf_hat, grad_hat, gc_hat, relit_hat, delta_hat):
+    """Pullback half of the backward: consumes the recompute's outputs
+    and stored activations, accumulates parameter gradients, returns
+    pin_hat [T, 8]."""
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_scale = 1.0 / meta.scale
+    featd = meta.feat_dim
+    store = _BWD_STORE[0] if bf16 else jnp.float32
+    L = meta.n_sdf
+    sdf_out_p = meta.layers[L - 1][2]
+    bm_e = bm_e_ref[:]
+    bm_c = bm_c_ref[:]
+    if meta.n_relight > 0:
+        bm_r = bm_r_ref[:]
+    _sdf, grad, gc, relit, delta = outs
+    Xs, Gs, Cs, Rs, phase_e, phase_c, phase_r = stash
 
     pts_hat = jnp.zeros((T, 3), jnp.float32)
 
     # relit / relight backward
     if meta.n_relight > 0:
         if meta.inv_sigmoid:
-            gcc = jnp.clip(gc, 0.0, 1.0)
-            logit = jnp.log(jnp.maximum(gcc, 1e-5) / jnp.maximum(1.0 - gcc, 1e-5))
-            relit = jax.nn.sigmoid(logit + delta)
             sbar = relit * (1.0 - relit) * relit_hat
             delta_tot = delta_hat + sbar
             dlogit = jnp.where(gc > 1e-5, 1.0 / jnp.maximum(gc, 1e-5), 0.0) + \
@@ -854,7 +921,7 @@ def _bwd_kernel(meta, T, bf16, refs):
     # pts also used directly via `small`
     pin_hat = pin_hat + jnp.concatenate(
         [pts_hat, jnp.zeros((T, 5), jnp.float32)], axis=1)
-    pin_hat_ref[:] = pin_hat
+    return pin_hat
 
 
 def _bwd_kernel_entry(meta, T, bf16, *refs):

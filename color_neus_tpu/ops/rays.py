@@ -158,15 +158,22 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, M - 1)
 
-    # batched gathers as one-hot MXU contractions (take_along_axis lowers
-    # to scalar-core gathers here — measured several ms at 2048x448)
+    # batched gathers as equality-masked sum reductions: the [R, K, M]
+    # intermediate stays VIRTUAL inside one XLA reduce fusion (VPU
+    # compare+select+add streaming over M). take_along_axis lowers to
+    # scalar-core gathers (several ms at 2048x448); the earlier one-hot
+    # MXU dot formulation materialized [R, K, M] f32 one-hots through
+    # HBM — hundreds of MB per step.
     m_iota = jnp.arange(M)
-    oh_b = (below[:, :, None] == m_iota).astype(cdf.dtype)
-    oh_a = (above[:, :, None] == m_iota).astype(cdf.dtype)
-    cdf_b = jnp.einsum("rkm,rm->rk", oh_b, cdf)
-    cdf_a = jnp.einsum("rkm,rm->rk", oh_a, cdf)
-    bins_b = jnp.einsum("rkm,rm->rk", oh_b, bins)
-    bins_a = jnp.einsum("rkm,rm->rk", oh_a, bins)
+
+    def _take(vals, idx):
+        mask = idx[:, :, None] == m_iota
+        return jnp.sum(jnp.where(mask, vals[:, None, :], 0.0), axis=-1)
+
+    cdf_b = _take(cdf, below)
+    cdf_a = _take(cdf, above)
+    bins_b = _take(bins, below)
+    bins_a = _take(bins, above)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)

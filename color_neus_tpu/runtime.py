@@ -72,6 +72,9 @@ class TrainLoop:
                       if all_data["masks"] is not None else None)
 
         # runtime
+        from color_neus_tpu.utils.misc import format_cfg
+        logger.info("config:%s", format_cfg(cfg.to_dict()
+                                            if hasattr(cfg, "to_dict") else cfg))
         self.recorder = Recorder(exp_id, cfg, resume_path=resume, snapshot=snapshot,
                                  require_clean_git=require_clean_git)
         self.writer = ScalarWriter(os.path.join(self.recorder.exp_path, "tensorboard"))
@@ -147,9 +150,6 @@ class TrainLoop:
                     self.exp_id, start, iterations, self.k_steps)
         t0 = time.time()
         rays_done = 0
-        # constant base key (seed-derived, resume-stable); the jitted step
-        # folds in the step counter — the loop issues no per-step host ops
-        base_key = self.base_key
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
         # progress bar (etqdm parity: rank 0 only, silent when not a tty)
@@ -163,8 +163,7 @@ class TrainLoop:
             pbar = None
         step = start
         while step < iterations:
-            self.state, aux = self.step_fn(self.state, self.scene, self.images,
-                                           self.masks, base_key)
+            aux = self.training_step()
             step += self.k_steps
             rays_done += self.tcfg.n_rays * self.k_steps
             if pbar is not None:
@@ -199,11 +198,10 @@ class TrainLoop:
 
             if step % save_int == 0 or step >= iterations:
                 self.recorder.record_checkpoint(self.state, self.key)
-                self.recorder.record_loss(self.loss_metric, step, comment="train-")
-                self.loss_metric.reset()
+                self.on_train_finished(step)
 
             if step % viz_img_int == 0 and step < iterations:
-                self.validate_image(step)
+                self.validation_step(step)
             if step % viz_mesh_int == 0 and step < iterations:
                 self.validate_mesh(step, resolution=512)
 
@@ -219,6 +217,42 @@ class TrainLoop:
             _sig.signal(sig, h)
         self.writer.flush()
         logger.info("training done.")
+
+    # ------------------------------------------------------------------
+    # Trainer lifecycle (models/protocol.py TrainerModule; the reference
+    # names from model_abstraction.py:4-37 mapped onto the functional
+    # runtime)
+    # ------------------------------------------------------------------
+    def training_step(self) -> dict:
+        """One (bundled) jitted optimization step. The constant base key
+        is seed-derived and resume-stable; the jitted step folds in the
+        in-state step counter — no per-step host ops."""
+        self.state, aux = self.step_fn(self.state, self.scene, self.images,
+                                       self.masks, self.base_key)
+        return aux
+
+    def compute_loss(self, aux: dict) -> float:
+        """Scalar loss of a step's aux (assembly itself is inside the
+        jitted step — models/trainer.py, NeuS_Trainer.py:129-171)."""
+        return float(aux["loss"])
+
+    def on_train_finished(self, step: int) -> None:
+        self.recorder.record_loss(self.loss_metric, step, comment="train-")
+        self.loss_metric.reset()
+
+    def validation_step(self, step: int) -> None:
+        self.validate_image(step)
+
+    def on_val_finished(self, step: int) -> None:
+        self.recorder.record_metric([self.psnr_metric, self.ssim_metric], step,
+                                    comment="val-")
+        logger.info("val @%d: %s %s", step, self.psnr_metric, self.ssim_metric)
+        self.psnr_metric.reset()
+        self.ssim_metric.reset()
+
+    def testing_step(self, step: int, recon_res: int = 512):
+        """Mesh extraction entry (NeuS_Trainer.testing_step:321-322)."""
+        return self.validate_mesh(step, resolution=recon_res)
 
     # ------------------------------------------------------------------
     def validate_image(self, step: int):
@@ -250,11 +284,7 @@ class TrainLoop:
             logger.warning("image dump failed: %s", e)
         self.psnr_metric.feed(rgb, gt)
         self.ssim_metric.feed(rgb, gt)
-        self.recorder.record_metric([self.psnr_metric, self.ssim_metric], step,
-                                    comment="val-")
-        logger.info("val @%d: %s %s", step, self.psnr_metric, self.ssim_metric)
-        self.psnr_metric.reset()
-        self.ssim_metric.reset()
+        self.on_val_finished(step)
 
     # ------------------------------------------------------------------
     def validate_mesh(self, step: int, resolution: int = 64, threshold: float = 0.0,

@@ -32,8 +32,9 @@ def main():
     cfg = get_config(arg.cfg, arg)  # data_root/reload applied inside; frozen
     exp_id = arg.exp_id or f"eval_{cfg['MODEL']['RENDERER']['TYPE']}_{arg.obj_id}"
     loop = TrainLoop(cfg, exp_id=exp_id)
-    out = loop.validate_mesh(int(loop.state["step"]), resolution=arg.recon_res,
-                             world_space=True)
+    # testing_step = mesh extraction (protocol.TrainerModule lifecycle;
+    # reference NeuS_Trainer.testing_step:321-322)
+    out = loop.testing_step(int(loop.state["step"]), recon_res=arg.recon_res)
     if out is not None:
         logger.info("meshes written to %s", loop.recorder.mesh_dir)
 

@@ -1,0 +1,127 @@
+"""Fused ray-march kernel vs the XLA render core (values + gradients)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from color_neus_tpu.models.configs import (
+    RendererConfig, SDFConfig, ColorConfig, RelightConfig,
+)
+from color_neus_tpu.models import neus, fields
+from color_neus_tpu.models.color_neus import render_core_color_neus
+from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
+from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
+
+
+SMALL_COLOR = RendererConfig(
+    kind="color_neus", n_samples=8, n_importance=8,
+    fused_sdf="off", fused_core="off",
+    sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
+    color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256, d_hidden=64,
+                      n_layers=2, multires_view=0),
+    relight=RelightConfig(d_hidden=64, n_layers=4, y_in_layer=3),
+)
+SMALL_NEUS = dataclasses.replace(
+    SMALL_COLOR, kind="neus",
+    color=ColorConfig(mode="idr", d_in=9, d_feature=256, d_hidden=64,
+                      n_layers=2, multires_view=4),
+)
+
+
+def _rays_z(R, S, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.randn(R, 3)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.4
+    d = -o / 1.4 + 0.2 * rng.randn(R, 3)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    z = np.sort(0.5 + 1.8 * rng.rand(R, S), axis=1)
+    return (jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.asarray(z, jnp.float32))
+
+
+def _core_reduce(params, rcfg, ro, rd, z):
+    """The quantities the kernel outputs, from the XLA render core."""
+    core = (render_core_color_neus if rcfg.kind == "color_neus"
+            else neus.render_core_neus)
+    out = core(params, rcfg, ro, rd, z, 2.0 / rcfg.n_samples)
+    wsum = jnp.sum(out["weights"], axis=-1)
+    dsum = (jnp.sum(out["delta_relight"], axis=(1, 2))
+            if "delta_relight" in out else jnp.zeros_like(wsum))
+    return out["color"], wsum, dsum, out["eik_num"], out["eik_den"]
+
+
+def _march_reduce(params, rcfg, ro, rd, z, interpret=True, tile_rays=2):
+    dense = resolve_dense(params, rcfg)
+    inv_s = fields.variance_inv_s(params["variance"])
+    o16 = fused_ray_march(dense, rcfg, ro, rd, z, inv_s,
+                          tile_rays=tile_rays, interpret=interpret)
+    return (o16[:, 0:3], o16[:, 3], o16[:, 4],
+            jnp.sum(o16[:, 5]), jnp.sum(o16[:, 6]))
+
+
+@pytest.mark.parametrize("rcfg", [SMALL_COLOR, SMALL_NEUS],
+                         ids=["color", "neus"])
+def test_march_fwd_matches_core(key, rcfg):
+    params = neus.init_renderer(key, rcfg)
+    R, S = 4, rcfg.n_samples + rcfg.n_importance
+    ro, rd, z = _rays_z(R, S)
+    ref = _core_reduce(params, rcfg, ro, rd, z)
+    got = _march_reduce(params, rcfg, ro, rd, z)
+    for name, a, b in zip(("color", "wsum", "dsum", "ekn", "ekd"), got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=name)
+
+
+def test_march_fwd_ray_padding(key):
+    rcfg = SMALL_COLOR
+    params = neus.init_renderer(key, rcfg)
+    S = rcfg.n_samples + rcfg.n_importance
+    for R in (1, 3, 5):
+        ro, rd, z = _rays_z(R, S, seed=R)
+        ref = _core_reduce(params, rcfg, ro, rd, z)
+        got = _march_reduce(params, rcfg, ro, rd, z)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+@pytest.mark.parametrize("rcfg", [SMALL_COLOR, SMALL_NEUS],
+                         ids=["color", "neus"])
+def test_march_bwd_matches_core_grad(key, rcfg):
+    """Gradients wrt params (incl. weight-norm + variance via the outer
+    autodiff), rays_o, and rays_d must match jax.grad of the XLA core."""
+    params = neus.init_renderer(key, rcfg)
+    R, S = 4, rcfg.n_samples + rcfg.n_importance
+    ro, rd, z = _rays_z(R, S, seed=3)
+    rng = np.random.RandomState(7)
+    lw_c = jnp.asarray(rng.randn(R, 3), jnp.float32)
+    lw_w = jnp.asarray(rng.randn(R), jnp.float32)
+    lw_d = jnp.asarray(rng.randn(R), jnp.float32)
+
+    def scalar(parts):
+        color, wsum, dsum, ekn, _ekd = parts
+        return (jnp.sum(lw_c * color) + jnp.sum(lw_w * wsum)
+                + jnp.sum(lw_d * dsum) + 0.7 * ekn)
+
+    def loss_ref(params, ro, rd):
+        return scalar(_core_reduce(params, rcfg, ro, rd, z))
+
+    def loss_march(params, ro, rd):
+        return scalar(_march_reduce(params, rcfg, ro, rd, z))
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        params, ro, rd)
+    v_m, g_m = jax.value_and_grad(loss_march, argnums=(0, 1, 2))(
+        params, ro, rd)
+    np.testing.assert_allclose(float(v_m), float(v_ref), rtol=2e-5)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_m = jax.tree_util.tree_leaves(g_m)
+    assert len(flat_ref) == len(flat_m)
+    for (path, a), b in zip(flat_ref, flat_m):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-4
+        np.testing.assert_allclose(b / scale, a / scale, atol=4e-4,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -274,3 +274,34 @@ def test_nerf_scheduler_and_optimizers():
         st = tx.init(params)
         up, _ = tx.update({"w": jnp.ones(3)}, st, params)
         assert np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_misc_const_and_format_cfg():
+    from color_neus_tpu.utils.misc import CONST, format_cfg, format_args_cfg
+    import pytest
+    with pytest.raises(AttributeError):
+        CONST.PI = 4.0
+    assert CONST.PYRENDER_EXTRINSIC[1, 1] == -1.0
+    s = format_cfg({"MODEL": {"N_RAYS": 512, "LIST": [1, 2]}})
+    assert "MODEL" in s and "N_RAYS" in s and "512" in s
+
+    import types
+    assert "cfg" in format_args_cfg(types.SimpleNamespace(cfg="x.yml"))
+
+
+def test_trainloop_satisfies_trainer_protocol():
+    from color_neus_tpu.models.protocol import TrainerModule
+    from color_neus_tpu.runtime import TrainLoop
+    for m in ("training_step", "validation_step", "compute_loss",
+              "on_train_finished", "on_val_finished", "testing_step"):
+        assert callable(getattr(TrainLoop, m))
+    # runtime_checkable structural check against an instance-shaped dummy
+    class _Shim:
+        training_step = validation_step = compute_loss = None
+        on_train_finished = on_val_finished = testing_step = None
+
+        def __init__(self):
+            for m in ("training_step", "validation_step", "compute_loss",
+                      "on_train_finished", "on_val_finished", "testing_step"):
+                setattr(self, m, lambda *a, **k: None)
+    assert isinstance(_Shim(), TrainerModule)

@@ -103,6 +103,7 @@ def parse_perfetto(trace_dir: str, n_steps: int):
 
     agg = defaultdict(float)
     count = defaultdict(int)
+    long = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -113,6 +114,11 @@ def parse_perfetto(trace_dir: str, n_steps: int):
         name = e.get("name", "?")
         agg[name] += dur
         count[name] += 1
+        if name not in long:
+            args = e.get("args", {})
+            ln = str(args.get("long_name", ""))
+            # keep the result shape + opcode — enough to identify the op
+            long[name] = ln.split(" fusion(")[0].split(" custom-call(")[0][:160]
         total += dur
 
     per_step = {k: v / n_steps / 1000.0 for k, v in agg.items()}  # ms/step
@@ -120,7 +126,8 @@ def parse_perfetto(trace_dir: str, n_steps: int):
     out = {
         "total_device_ms_per_step": round(total / n_steps / 1000.0, 2),
         "top_ops_ms_per_step": [
-            {"name": k[:110], "ms": round(v, 3), "calls": count[k] // n_steps}
+            {"name": k[:110], "ms": round(v, 3), "calls": count[k] // n_steps,
+             "hlo": long.get(k, "")}
             for k, v in top],
     }
     print(json.dumps(out, indent=1))
