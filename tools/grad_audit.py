@@ -75,15 +75,18 @@ def main():
     near, far = near_far_from_sphere(o, d)
 
     def loss_fn(p, variant):
-        cfg2 = dataclasses.replace(rcfg, fused_core=variant, fused_sdf="off")
-        out = neus.render_rays(p, cfg2, o, d, near, far,
-                               key=jax.random.PRNGKey(2),
-                               perturb_overwrite=0.0)
+        # audit the TRAINING path (render_rays_train -> ray-march kernel
+        # when variant != 'off'); the sampling sweeps stay XLA in both
+        # variants so the two losses see identical sample positions
+        cfg2 = dataclasses.replace(rcfg, fused_march=variant,
+                                   fused_core="off", fused_sdf="off")
+        out = neus.render_rays_train(p, cfg2, o, d, near, far,
+                                     key=jax.random.PRNGKey(2),
+                                     perturb_overwrite=0.0)
         return (jnp.mean(out["color_fine"])
                 + out["gradient_error"]
                 + jnp.mean(out["weight_sum"])
-                + jnp.mean(out["delta_relight"] ** 2)
-                + jnp.mean(out["global_color"]))
+                + jnp.mean(out["delta_sum"]) ** 2)
 
     fused_variant = "interpret" if interpret else "on"
     g_fused = jax.jit(jax.grad(lambda p: loss_fn(p, fused_variant)))(params)
