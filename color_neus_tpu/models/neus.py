@@ -91,8 +91,12 @@ def up_sample_z(rays_o, rays_d, z_vals, sdf, n_importance, inv_s):
     min(cos, prev_cos) clipped to <= 0 and restricted inside the unit
     sphere, then inverse-CDF samples n_importance new z per ray.
     """
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    radius = jnp.linalg.norm(pts, axis=-1)
+    # |ro + rd*z|^2 as a per-ray quadratic in z — never materializes the
+    # [R, S, 3] points (the broadcasts cost ~1 ms/step at bench shape)
+    a = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)
+    b = 2.0 * jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    c = jnp.sum(rays_d * rays_d, axis=-1, keepdims=True)
+    radius = jnp.sqrt(jnp.maximum(a + b * z_vals + c * z_vals * z_vals, 0.0))
     inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
 
     prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
@@ -149,7 +153,8 @@ def merge_z_vals(z_vals, new_z, sdf, new_sdf):
 
 
 def hierarchical_z_vals(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
-                        key=None, perturb_overwrite: float = -1.0, sdf_fn=None):
+                        key=None, perturb_overwrite: float = -1.0, sdf_fn=None,
+                        sdf_rays_fn=None):
     """Coarse + SDF-guided importance z values, [R, n_samples+n_importance].
 
     Entirely outside the autodiff graph: inputs are stop_gradient'ed on
@@ -177,8 +182,13 @@ def hierarchical_z_vals(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
         z_vals = z_vals + t_rand * 2.0 / n
 
     if rcfg.n_importance > 0:
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        sdf = sdf_fn(pts.reshape(-1, 3)).reshape(R, n)
+        if sdf_rays_fn is not None:
+            sweep = lambda z: sdf_rays_fn(rays_o, rays_d, z)
+        else:
+            sweep = lambda z: sdf_fn(
+                (rays_o[:, None, :] + rays_d[:, None, :] * z[..., None])
+                .reshape(-1, 3)).reshape(z.shape)
+        sdf = sweep(z_vals)
         n_per_round = rcfg.n_importance // rcfg.up_sample_steps
         for i in range(rcfg.up_sample_steps):
             new_z = up_sample_z(rays_o, rays_d, z_vals, sdf, n_per_round, 64 * 2 ** i)
@@ -186,9 +196,7 @@ def hierarchical_z_vals(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
             if last:
                 z_vals, sdf = merge_z_vals(z_vals, new_z, None, None)
             else:
-                new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
-                new_sdf = sdf_fn(new_pts.reshape(-1, 3)).reshape(R, n_per_round)
-                z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, new_sdf)
+                z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, sweep(new_z))
 
     return jax.lax.stop_gradient(z_vals)
 
@@ -374,13 +382,13 @@ def render_rays_train(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
 
     from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
     from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
-    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_fn
+    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
 
-    sdf_fn = (resolve_sdf_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
-              if rcfg.fused_sdf != "off" and rcfg.n_importance > 0 else None)
+    sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+                   if rcfg.fused_sdf != "off" and rcfg.n_importance > 0 else None)
     z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
                                  key=key, perturb_overwrite=perturb_overwrite,
-                                 sdf_fn=sdf_fn)
+                                 sdf_rays_fn=sdf_rays_fn)
     dense = resolve_dense(params, rcfg)
     inv_s = fields.variance_inv_s(params["variance"])
     out16 = fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
@@ -422,11 +430,13 @@ def render_rays(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
 def _render_rays_inner(params, rcfg, rays_o, rays_d, near, far, key,
                        perturb_overwrite, background_rgb, cos_anneal_ratio, sdf_fn):
     sample_dist = 2.0 / rcfg.n_samples
+    sdf_rays_fn = None
     if sdf_fn is None and rcfg.fused_sdf != "off" and rcfg.n_importance > 0:
-        from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_fn
-        sdf_fn = resolve_sdf_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+        from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
+        sdf_rays_fn = resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
     z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
-                                 key=key, perturb_overwrite=perturb_overwrite, sdf_fn=sdf_fn)
+                                 key=key, perturb_overwrite=perturb_overwrite,
+                                 sdf_fn=sdf_fn, sdf_rays_fn=sdf_rays_fn)
 
     background_alpha = None
     background_sampled_color = None

@@ -111,6 +111,21 @@ def _softplus100(x):
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
+def _sdf_layers(meta, n_lin, ws, bs, emb):
+    """The padded weight-norm-resolved SDF MLP on an embedded tile."""
+    h = emb
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for l in range(n_lin):
+        kind, _real, _pad = meta["widths"][l]
+        if kind == "skip":
+            # zero-pad h to the aligned skip width, then append emb
+            h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
+        h = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
+        if l < n_lin - 1:
+            h = _softplus100(h)
+    return h
+
+
 def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
     ws = refs[:n_lin]
     bs = refs[n_lin:2 * n_lin]
@@ -123,17 +138,36 @@ def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
     phase = jnp.dot(pin_ref[:], bm[0:8], preferred_element_type=jnp.float32)
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
-    h = emb
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    for l in range(n_lin):
-        kind, real, pad = meta["widths"][l]
-        if kind == "skip":
-            # zero-pad h to the aligned skip width, then append emb
-            h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-        h = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
-        if l < n_lin - 1:
-            h = _softplus100(h)
+    h = _sdf_layers(meta, n_lin, ws, bs, emb)
     out_ref[:] = h[:, 0:8]                    # [T, 8], col 0 = raw sdf
+
+
+def _sdf_rays_kernel(meta, n_lin, S, rays_ref, z_ref, bm_ref, bmd_ref, *refs):
+    """Sweep variant that builds pts = ro + rd*z IN-KERNEL from per-ray
+    packed rays [Rt, 8] + point-major z [T, 1] — HBM never sees the
+    [N, 3] points or the padded [N, 8] pin (the pad/broadcast glue that
+    fed the pts-based sweeps cost ~4.5 ms/step at 1M points)."""
+    from color_neus_tpu.ops.pallas.ray_march import _seg_matrix, _seg_bcast
+
+    ws = refs[:n_lin]
+    bs = refs[n_lin:2 * n_lin]
+    out_ref = refs[2 * n_lin]
+
+    T = z_ref.shape[0]
+    Rt = T // S
+    seg = _seg_matrix(Rt, T, S)
+    raysb = _seg_bcast(seg, rays_ref[0])           # [T, 8]: ro 0:3, rd 4:7
+    z = z_ref[:]
+    bm = bm_ref[:]
+    # phase = (ro + rd*z) @ B without materializing pts in a narrow
+    # concat: B applied to the ro lanes + (B shifted to the rd lanes)*z
+    phase = (jnp.dot(raysb, bm[0:8], preferred_element_type=jnp.float32)
+             + jnp.dot(raysb, bmd_ref[:],
+                       preferred_element_type=jnp.float32) * z)
+    emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
+           + jnp.cos(phase) * bm[10:11])
+    h = _sdf_layers(meta, n_lin, ws, bs, emb)
+    out_ref[:] = h[:, 0:8]
 
 
 def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
@@ -199,6 +233,72 @@ def fused_sdf_fn(params: dict, cfg: SDFConfig, pts: jnp.ndarray,
     return make_fused_sdf_fn(params, cfg, interpret=interpret)(pts)
 
 
+def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
+                           interpret: bool = False):
+    """Returns sdf_fn(rays_o [R,3], rays_d [R,3], z [R,S]) -> sdf [R,S].
+
+    Same math as make_fused_sdf_fn but pts are computed in-kernel from
+    the packed rays + z, so the caller never materializes [R*S, 3]
+    points (hierarchical_z_vals' sweep inputs). The [R, 8] rays packing
+    below is identical to fused_ray_march's and CSE's with it.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
+
+    ws, bs, meta = pack_sdf_weights(params, cfg)
+    n_lin = meta["n_lin"]
+    d0p = meta["d0p"]
+    bm = pe_basis(cfg.multires, cfg.scale, 0, d0p)
+    # the phase basis shifted onto the rd lanes (4:7)
+    bmd = jnp.zeros((8, d0p), jnp.float32).at[4:7].set(bm[0:3])
+
+    def sdf_fn(rays_o, rays_d, z):
+        R, S = z.shape
+        Rt = max(1, tile_pts // S)
+        T = Rt * S
+        R_pad = (R + Rt - 1) // Rt * Rt
+        zero1 = jnp.zeros((R, 1), jnp.float32)
+        rays = jnp.concatenate([rays_o, zero1, rays_d, zero1], axis=1)
+        if R_pad != R:
+            rays = jnp.zeros((R_pad, 8), jnp.float32).at[:R].set(rays)
+            z = jnp.zeros((R_pad, S), jnp.float32).at[:R].set(z)
+        G = R_pad // Rt
+        rays3 = rays.reshape(G, Rt, 8)
+        z_pt = z.reshape(R_pad * S, 1)
+
+        kernel = partial(_sdf_rays_kernel, meta, n_lin, S)
+        in_specs = [
+            pl.BlockSpec((1, Rt, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bm.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(bmd.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        for w in ws:
+            in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for b in bs:
+            in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        kw = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
+        out = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((T, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R_pad * S, 8), jnp.float32),
+            interpret=interpret,
+            **kw,
+        )(rays3, z_pt, bm, bmd, *ws, *bs)
+        return out[:, 0].reshape(R_pad, S)[:R] / meta["scale"]
+
+    return sdf_fn
+
+
 def resolve_sdf_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
     """Pick the sweep-time SDF evaluator.
 
@@ -215,4 +315,17 @@ def resolve_sdf_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
         return make_fused_sdf_fn(params, cfg, interpret=True)
     if mode == "on" or (mode == "auto" and fused_kernel_available()):
         return make_fused_sdf_fn(params, cfg)
+    return None
+
+
+def resolve_sdf_sweep_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
+    """Rays+z sweep evaluator (see make_fused_sdf_rays_fn); same mode
+    contract as resolve_sdf_fn. None = caller falls back to pts-based."""
+    if mode == "off":
+        return None
+    params = jax.lax.stop_gradient(params)
+    if mode == "interpret":
+        return make_fused_sdf_rays_fn(params, cfg, interpret=True)
+    if mode == "on" or (mode == "auto" and fused_kernel_available()):
+        return make_fused_sdf_rays_fn(params, cfg)
     return None

@@ -64,6 +64,50 @@ def test_pack_exactness(key):
     np.testing.assert_allclose(np.asarray(h_kernel[:, 64:]), 0.0, atol=0)
 
 
+def test_fused_sdf_rays_variant(key):
+    """Rays+z sweep kernel (pts built in-kernel) vs the pts-based path,
+    including R not a multiple of the ray tile."""
+    from color_neus_tpu.ops.pallas.sdf_mlp import make_fused_sdf_rays_fn
+    cfg = SDFConfig()
+    params = fields.init_sdf(key, cfg)
+    for R, S in ((5, 48), (4, 16), (1, 64)):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, R * S), 3)
+        ro = jax.random.normal(k1, (R, 3)) * 0.3
+        rd = jax.random.normal(k2, (R, 3))
+        rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+        z = jnp.sort(jax.random.uniform(k3, (R, S)) * 2.0, axis=1)
+        pts = (ro[:, None] + rd[:, None] * z[..., None]).reshape(-1, 3)
+        ref = fields.sdf_value(params, cfg, pts)[:, 0].reshape(R, S)
+        got = make_fused_sdf_rays_fn(params, cfg, tile_pts=256,
+                                     interpret=True)(ro, rd, z)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_hierarchical_z_with_rays_sweep(key):
+    """hierarchical_z_vals via the rays+z sweep matches the XLA path."""
+    from color_neus_tpu.models.configs import RendererConfig
+    from color_neus_tpu.models import neus
+    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
+    rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
+                          up_sample_steps=4)
+    params = neus.init_renderer(key, rcfg)
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 7))
+    R = 6
+    ro = jax.random.normal(k1, (R, 3)) * 0.3
+    rd = jax.random.normal(k2, (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+    near = jnp.full((R,), 0.5)
+    far = jnp.full((R,), 2.5)
+    z_ref = neus.hierarchical_z_vals(params, rcfg, ro, rd, near, far,
+                                     key=None, perturb_overwrite=0.0)
+    fn = resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, "interpret")
+    z_new = neus.hierarchical_z_vals(params, rcfg, ro, rd, near, far,
+                                     key=None, perturb_overwrite=0.0,
+                                     sdf_rays_fn=fn)
+    np.testing.assert_allclose(np.asarray(z_new), np.asarray(z_ref), atol=1e-5)
+
+
 def test_resolve_modes(key):
     cfg = SDFConfig(d_hidden=64, n_layers=2, skip_in=(), multires=4)
     params = fields.init_sdf(key, cfg)
