@@ -352,8 +352,27 @@ def _use_fused_march(rcfg: RendererConfig) -> bool:
         return False
 
 
+def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
+                 key, perturb_overwrite):
+    """Hierarchical sampling + fused ray-march for one (shard of a) ray
+    batch; [R, 16] per-ray loss partials (see fused_ray_march)."""
+    from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
+    from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
+    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
+
+    sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+                   if rcfg.fused_sdf != "off" and rcfg.n_importance > 0 else None)
+    z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
+                                 key=key, perturb_overwrite=perturb_overwrite,
+                                 sdf_rays_fn=sdf_rays_fn)
+    dense = resolve_dense(params, rcfg)
+    inv_s = fields.variance_inv_s(params["variance"])
+    return fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
+                           interpret=(rcfg.fused_march == "interpret"))
+
+
 def render_rays_train(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
-                      key=None, perturb_overwrite: float = -1.0):
+                      key=None, perturb_overwrite: float = -1.0, mesh=None):
     """Loss-path renderer: returns ONLY what compute_loss and the train
     aux consume (color_fine, weight_sum, gradient_error, the
     delta_relight per-ray sums, s_val).
@@ -363,6 +382,15 @@ def render_rays_train(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     pass — per ray HBM sees 8 floats of rays, S z-values, 16 outputs.
     Elsewhere (or fused_march='off') it reduces the full render_rays
     output to the same dict, so the two paths are interchangeable.
+
+    With `mesh` set the fused path runs under shard_map: GSPMD cannot
+    partition a pallas_call, so each device executes the kernels on its
+    own ray shard (params replicated; shard_map's transpose psums the
+    weight gradients). The eikonal ratio is assembled OUTSIDE the
+    shard_map from globally-summed per-ray partials, so the sharded
+    loss is bit-compatible with the single-device fused path. The
+    perturb key is folded with the device's axis index, so perturbed
+    z noise differs from the unsharded run (same distribution).
     """
     R = rays_o.shape[0]
     S = rcfg.n_samples + rcfg.n_importance
@@ -380,19 +408,25 @@ def render_rays_train(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
             ret["delta_sum"] = jnp.sum(out["delta_relight"], axis=(1, 2))
         return ret
 
-    from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
-    from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
-    from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from color_neus_tpu.parallel.mesh import RAY_AXIS
 
-    sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
-                   if rcfg.fused_sdf != "off" and rcfg.n_importance > 0 else None)
-    z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
-                                 key=key, perturb_overwrite=perturb_overwrite,
-                                 sdf_rays_fn=sdf_rays_fn)
-    dense = resolve_dense(params, rcfg)
+        def shard_fn(p, k, ro, rd, nr, fr):
+            if k is not None:
+                k = jax.random.fold_in(k, jax.lax.axis_index(RAY_AXIS))
+            return _fused_out16(p, rcfg, ro, rd, nr, fr, k, perturb_overwrite)
+
+        ray_spec = P(RAY_AXIS)
+        out16 = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), ray_spec, ray_spec, ray_spec, ray_spec),
+            out_specs=ray_spec, check_vma=False,
+        )(params, key, rays_o, rays_d, near, far)
+    else:
+        out16 = _fused_out16(params, rcfg, rays_o, rays_d, near, far, key,
+                             perturb_overwrite)
     inv_s = fields.variance_inv_s(params["variance"])
-    out16 = fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
-                            interpret=(rcfg.fused_march == "interpret"))
     ek_num = jnp.sum(out16[:, 5])
     ek_den = jnp.sum(out16[:, 6])
     ret = {

@@ -294,7 +294,8 @@ def render_random_rays(params, scene, cfg: TrainerConfig, images, masks, img_ids
     rays_o = (rays_o - scene["origin"]) / scene["radius"]
     near, far = near_far_from_sphere(rays_o, rays_d)
     render = neus.render_rays_train(params["renderer"], cfg.renderer,
-                                    rays_o, rays_d, near, far, key=k_perturb)
+                                    rays_o, rays_d, near, far, key=k_perturb,
+                                    mesh=cfg.mesh)
     render["rgb_map_gt"] = rgb_gt
     render["mask"] = sel_mask
     return render

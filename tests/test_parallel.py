@@ -69,6 +69,60 @@ def test_sharded_step_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_fused_march_matches_single_device():
+    """The fused pallas path under shard_map (one pallas_call per ray
+    shard — GSPMD can't partition a custom call) must reproduce the
+    single-device fused loss AND weight gradients. perturb=0 so the
+    per-shard key folding doesn't change the sampled z."""
+    from color_neus_tpu.models import trainer as TR
+    from color_neus_tpu.models.configs import (
+        RendererConfig, SDFConfig, ColorConfig, RelightConfig)
+    from color_neus_tpu.models.camera import CameraConfig
+    from color_neus_tpu.parallel import make_sharded_train_step
+    from color_neus_tpu.ops.transforms import pose_spherical
+
+    H = W = 16
+    n_cams = 2
+    rcfg = RendererConfig(
+        kind="color_neus", n_samples=16, n_importance=8, up_sample_steps=4,
+        perturb=0.0, fused_march="interpret", fused_sdf="interpret",
+        sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
+        color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256,
+                          d_hidden=64, n_layers=2, multires_view=0),
+        relight=RelightConfig(d_hidden=64, n_layers=4, y_in_layer=3),
+    )
+    cfg = TR.TrainerConfig(
+        n_rays=32, include_mask=False, mask_rate=None,
+        iterations=100, warm_up=10,
+        camera=CameraConfig(H=H, W=W, n_cams=n_cams, pose_mode="6d"),
+        renderer=rcfg,
+    )
+    key = jax.random.PRNGKey(0)
+    state = TR.init_state(key, cfg, init_focal_np=np.asarray([20.0, 20.0]))
+    poses = np.stack([pose_spherical(120.0 * i, -30.0, 3.0) for i in range(n_cams)])
+    poses[:, :, 1:3] *= -1
+    scene = TR.make_scene(np.zeros(3), 1.0, poses)
+    images = jnp.asarray(np.random.RandomState(0).rand(n_cams, H, W, 3), jnp.float32)
+    img_ids = jnp.arange(n_cams)
+    k = jax.random.PRNGKey(7)
+
+    plain = TR.make_train_step(cfg, donate=False)
+    s1, aux1 = plain(state, scene, images, None, img_ids, k)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(cfg, mesh, donate=False)
+    s2, aux2 = sharded(state, scene, images, None, img_ids, k)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=2e-4, atol=2e-5)
+    # updated params (i.e. the psum'd gradients) must match too
+    l1 = jax.tree_util.tree_leaves(s1["params"])
+    l2 = jax.tree_util.tree_leaves(s2["params"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_sharded_output_is_sharded():
     """Check the constraint actually shards intermediate compute: the
     compiled HLO should reference all 8 devices."""
