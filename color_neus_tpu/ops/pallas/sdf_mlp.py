@@ -112,15 +112,21 @@ def _softplus100(x):
 
 
 def _sdf_layers(meta, n_lin, ws, bs, emb):
-    """The padded weight-norm-resolved SDF MLP on an embedded tile."""
+    """The padded weight-norm-resolved SDF MLP on an embedded tile.
+
+    Dot precision follows the weight dtype (currently f32 everywhere:
+    a bf16 variant was measured at parity — the sweeps are not
+    matmul-throughput-bound — so f32 exactness is kept)."""
     h = emb
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for l in range(n_lin):
         kind, _real, _pad = meta["widths"][l]
+        w = ws[l][:]
         if kind == "skip":
             # zero-pad h to the aligned skip width, then append emb
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-        h = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
+        h = (jnp.dot(h.astype(w.dtype), w,
+                     preferred_element_type=jnp.float32) + bs[l][:])
         if l < n_lin - 1:
             h = _softplus100(h)
     return h
@@ -185,6 +191,9 @@ def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
     from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
 
     ws, bs, meta = pack_sdf_weights(params, cfg)
+    # f32 weights: this entry also serves mesh extraction, where SDF
+    # precision sets vertex accuracy. The no-grad sweeps go through
+    # make_fused_sdf_rays_fn, which uses bf16 dots.
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
     bm = pe_basis(cfg.multires, cfg.scale, 0, d0p)
