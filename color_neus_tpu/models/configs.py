@@ -90,6 +90,10 @@ class RendererConfig:
     # fused ray-march training core (MLP + compositing + loss partials in
     # one kernel; loss path only): auto | on | off | interpret
     fused_march: str = "auto"
+    # fused hierarchical sampling (coarse z + all up-sample rounds +
+    # merges in one kernel; training loss path only): auto | on | off |
+    # interpret
+    fused_hierarchy: str = "auto"
     # point-tile size for the fused pipeline kernels
     fused_tile: int = 512
     # render-core ray chunking with rematerialization: activation memory is
@@ -136,6 +140,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
         fused_core=_lower_get(rcfg, "FUSED_CORE", "auto"),
         fused_march=_lower_get(rcfg, "FUSED_MARCH", "auto"),
+        fused_hierarchy=_lower_get(rcfg, "FUSED_HIERARCHY", "auto"),
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
