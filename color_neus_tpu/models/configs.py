@@ -96,6 +96,10 @@ class RendererConfig:
     fused_hierarchy: str = "auto"
     # point-tile size for the fused pipeline kernels
     fused_tile: int = 512
+    # fused-march backward activation policy: recompute | save
+    # (save = forward kernel exports the stash to HBM, backward loads it
+    # instead of recomputing — bitwise-identical gradients)
+    march_acts: str = "recompute"
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -142,6 +146,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_march=_lower_get(rcfg, "FUSED_MARCH", "auto"),
         fused_hierarchy=_lower_get(rcfg, "FUSED_HIERARCHY", "auto"),
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
+        march_acts=_lower_get(rcfg, "MARCH_ACTS", "recompute"),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

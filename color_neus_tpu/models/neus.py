@@ -385,6 +385,7 @@ def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     dense = resolve_dense(params, rcfg)
     inv_s = fields.variance_inv_s(params["variance"])
     return fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
+                           save_acts=(rcfg.march_acts == "save"),
                            interpret=(rcfg.fused_march == "interpret"))
 
 

@@ -437,8 +437,8 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
         w = w_refs[li][:]
         a = _kdot(h, w, bf16) + b_refs[li][:]
         if l < meta["n_sdf"] - 1:
-            h = _softplus100(a)
-            gates.append(jax.nn.sigmoid(100.0 * a))
+            h, g = _softplus100_and_gate(a)
+            gates.append(g)
         else:
             y = a                                      # [T, out_p] sdf+feat
         li += 1
@@ -584,6 +584,22 @@ def _dsoftplus100(a):
     return jax.nn.sigmoid(100.0 * a)
 
 
+def _softplus100_and_gate(a):
+    """softplus(100a)/100 and its derivative sigmoid(100a) from ONE
+    shared exp. With e = exp(-100|a|):
+        softplus(100a)/100 = max(a, 0) + log1p(e)/100
+        sigmoid(100a)      = 1/(1+e)        (a >= 0)
+                           = 1 - 1/(1+e)    (a <  0)
+    These are exactly the numerically-stable forms jax.nn uses, so the
+    results match _softplus100/_dsoftplus100 — but the VPU evaluates
+    one exp per element instead of two."""
+    e = jnp.exp(-100.0 * jnp.abs(a))
+    sp = jnp.maximum(a, 0.0) + jnp.log1p(e) * 0.01
+    r = 1.0 / (1.0 + e)
+    g = jnp.where(a >= 0.0, r, 1.0 - r)
+    return sp, g
+
+
 def _bwd_kernel(meta, T, bf16, refs):
     """refs = (pin, bm_e, bm_c, bm_r, gbar, *ws, *wts, *bs, outs...).
     wts = ALL weights pre-transposed ([out_p, in_p]) — every x_bar
@@ -669,9 +685,8 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
         Xs.append(h.astype(store))
         a = _kdot(h, w_refs[l][:], bf16) + b_refs[l][:]
         if l < L - 1:
-            g = _dsoftplus100(a)
+            h, g = _softplus100_and_gate(a)
             Gs.append(g)
-            h = _softplus100(a)
         else:
             y = a
     sdf_out_p = meta.layers[L - 1][2]
@@ -739,6 +754,88 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
     outs = (sdf, grad, gc, relit, delta)
     stash = (Xs, Gs, Cs, Rs, phase_e, phase_c, phase_r)
     return outs, stash
+
+
+# ---------------------------------------------------------------------------
+# Stash externalization (saved-activations backward)
+# ---------------------------------------------------------------------------
+#
+# The fused ray-march backward can either RECOMPUTE the forward
+# activations per tile (_mlp_recompute, ~27 GEMMs + the beta=100
+# softplus transcendentals) or LOAD them from HBM tensors the forward
+# kernel wrote (~19 KB/point round trip vs ~1x forward FLOPs of
+# recompute). These helpers flatten the (outs, stash) pair into three
+# lane-aligned tensors — every segment width is a 128-multiple so the
+# in-kernel slices never relayout:
+#   SX  [T, sum Xs widths]       sdf layer inputs, store dtype
+#   SCR [T, sum Cs + Rs widths]  color+relight layer inputs, store dtype
+#   SG  [T, 128 + sum Gs widths] f32: outs (13 used lanes of 128) + gates
+# Phases are NOT stored: the backward recomputes them from `pin` with
+# one [T, 8] @ [8, dp] dot per encoder (cheaper than 320 f32 lanes).
+
+def _stash_widths(meta):
+    xw = [meta.layers[l][1] for l in range(meta.n_sdf)]
+    gw = [meta.layers[l][2] for l in range(meta.n_sdf - 1)]
+    cw = [meta.layers[meta.n_sdf + l][1] for l in range(meta.n_color)]
+    rw = [meta.layers[meta.n_sdf + meta.n_color + l][1]
+          for l in range(meta.n_relight)]
+    return xw, gw, cw, rw
+
+
+def stash_lane_widths(meta):
+    """(DX, DCR, DG): lane widths of the flattened stash tensors."""
+    xw, gw, cw, rw = _stash_widths(meta)
+    return sum(xw), sum(cw) + sum(rw), 128 + sum(gw)
+
+
+def flatten_stash(meta, outs, stash):
+    """(outs, stash) -> (SX, SCR, SG) for HBM export (phases dropped)."""
+    Xs, Gs, Cs, Rs, _pe, _pc, _pr = stash
+    sdf, grad, gc, relit, delta = outs
+    T = sdf.shape[0]
+    SX = jnp.concatenate(Xs, axis=1)
+    SCR = jnp.concatenate(list(Cs) + list(Rs), axis=1)
+    outs128 = jnp.concatenate(
+        [sdf, grad, gc, relit, delta, jnp.zeros((T, 115), jnp.float32)],
+        axis=1)
+    SG = jnp.concatenate([outs128] + list(Gs), axis=1)
+    return SX, SCR, SG
+
+
+def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
+    """(SX, SCR, SG) + pin -> (outs, stash), phases recomputed from pin.
+
+    Inverse of flatten_stash up to the dropped phases; the values are
+    what _mlp_recompute would return (the store dtypes match and
+    outs/gates travel f32), equal up to compiler fma/fusion
+    reassociation."""
+    xw, gw, cw, rw = _stash_widths(meta)
+    Xs, o = [], 0
+    for wd in xw:
+        Xs.append(SX[:, o:o + wd])
+        o += wd
+    Cs, o = [], 0
+    for wd in cw:
+        Cs.append(SCR[:, o:o + wd])
+        o += wd
+    Rs = []
+    for wd in rw:
+        Rs.append(SCR[:, o:o + wd])
+        o += wd
+    outs = (SG[:, 0:1], SG[:, 1:4], SG[:, 4:7], SG[:, 7:10], SG[:, 10:13])
+    Gs, o = [], 128
+    for wd in gw:
+        Gs.append(SG[:, o:o + wd])
+        o += wd
+    phase_e = jnp.dot(pin, bm_e_ref[:][0:8],
+                      preferred_element_type=jnp.float32)
+    phase_c = jnp.dot(pin, bm_c_ref[:][0:8],
+                      preferred_element_type=jnp.float32)
+    phase_r = None
+    if meta.n_relight > 0:
+        phase_r = jnp.dot(pin, bm_r_ref[:][0:8],
+                          preferred_element_type=jnp.float32)
+    return outs, (Xs, Gs, Cs, Rs, phase_e, phase_c, phase_r)
 
 
 def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,

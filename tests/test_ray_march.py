@@ -125,3 +125,37 @@ def test_march_bwd_matches_core_grad(key, rcfg):
         scale = np.abs(a).max() + 1e-4
         np.testing.assert_allclose(b / scale, a / scale, atol=4e-4,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("rcfg", [SMALL_COLOR, SMALL_NEUS],
+                         ids=["color", "neus"])
+def test_march_save_acts_matches_recompute(key, rcfg):
+    """save_acts=True (stash through HBM) must reproduce the recompute
+    backward: same ops, same store dtypes, only the transport differs —
+    equal up to compiler fma/fusion reassociation (~1e-5 rel)."""
+    params = neus.init_renderer(key, rcfg)
+    R, S = 4, rcfg.n_samples + rcfg.n_importance
+    ro, rd, z = _rays_z(R, S, seed=11)
+    rng = np.random.RandomState(13)
+    lw = jnp.asarray(rng.randn(R, 16), jnp.float32)
+
+    def loss(params, ro, rd, save):
+        dense = resolve_dense(params, rcfg)
+        inv_s = fields.variance_inv_s(params["variance"])
+        o16 = fused_ray_march(dense, rcfg, ro, rd, z, inv_s,
+                              tile_rays=2, interpret=True, save_acts=save)
+        return jnp.sum(lw * o16)
+
+    v_r, g_r = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        params, ro, rd, False)
+    v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        params, ro, rd, True)
+    np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-6)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_r)
+    flat_s = jax.tree_util.tree_leaves(g_s)
+    assert len(flat_r) == len(flat_s)
+    for (path, a), b in zip(flat_r, flat_s):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
