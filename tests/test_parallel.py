@@ -69,11 +69,18 @@ def test_sharded_step_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_sharded_fused_march_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("march_acts", ["recompute", "save"],
+                         ids=["recompute", "save_acts"])
+def test_sharded_fused_march_matches_single_device(march_acts):
     """The fused pallas path under shard_map (one pallas_call per ray
     shard — GSPMD can't partition a custom call) must reproduce the
     single-device fused loss AND weight gradients. perturb=0 so the
-    per-shard key folding doesn't change the sampled z."""
+    per-shard key folding doesn't change the sampled z. Covers both
+    backward activation policies: the save path's stash residuals flow
+    through the shard_map transpose per device."""
     from color_neus_tpu.models import trainer as TR
     from color_neus_tpu.models.configs import (
         RendererConfig, SDFConfig, ColorConfig, RelightConfig)
@@ -90,6 +97,7 @@ def test_sharded_fused_march_matches_single_device():
         color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256,
                           d_hidden=64, n_layers=2, multires_view=0),
         relight=RelightConfig(d_hidden=64, n_layers=4, y_in_layer=3),
+        march_acts=march_acts,
     )
     cfg = TR.TrainerConfig(
         n_rays=32, include_mask=False, mask_rate=None,
