@@ -11,6 +11,8 @@ from color_neus_tpu.models.configs import (
 from color_neus_tpu.models import neus, fields
 from color_neus_tpu.ops.pallas import point_pipeline as PP
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas oracles dominate CI time
+
 
 SMALL_COLOR = RendererConfig(
     kind="color_neus",
