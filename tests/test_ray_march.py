@@ -127,8 +127,14 @@ def test_march_bwd_matches_core_grad(key, rcfg):
                                    err_msg=jax.tree_util.keystr(path))
 
 
-@pytest.mark.parametrize("rcfg", [SMALL_COLOR, SMALL_NEUS],
-                         ids=["color", "neus"])
+SMALL_COLOR_VAR = dataclasses.replace(
+    SMALL_COLOR,
+    relight=dataclasses.replace(SMALL_COLOR.relight, include_grad=False,
+                                inv_sigmoid=False, d_in=6))
+
+
+@pytest.mark.parametrize("rcfg", [SMALL_COLOR, SMALL_NEUS, SMALL_COLOR_VAR],
+                         ids=["color", "neus", "color_variant"])
 def test_march_save_acts_matches_recompute(key, rcfg):
     """save_acts=True (stash through HBM) must reproduce the recompute
     backward: same ops, same store dtypes, only the transport differs —
