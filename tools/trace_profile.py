@@ -34,6 +34,7 @@ def run_and_trace(trace_dir: str, n_steps: int = 3):
     n_rays = int(os.environ.get("PROF_N_RAYS", 2048))
     rcfg = RendererConfig(
         kind="color_neus", n_samples=256, n_importance=256, up_sample_steps=4,
+        march_acts=os.environ.get("PROF_MARCH_ACTS", "recompute"),
         color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
     )
     H = W = 256
