@@ -100,6 +100,9 @@ class RendererConfig:
     # (save = forward kernel exports the stash to HBM, backward loads it
     # instead of recomputing — bitwise-identical gradients)
     march_acts: str = "recompute"
+    # march kernel point-tile size (0 = default 1024); lower it if the
+    # save-mode stash blocks exceed VMEM at large S
+    march_tile: int = 0
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -147,6 +150,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_hierarchy=_lower_get(rcfg, "FUSED_HIERARCHY", "auto"),
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         march_acts=_lower_get(rcfg, "MARCH_ACTS", "recompute"),
+        march_tile=_lower_get(rcfg, "MARCH_TILE", 0),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -384,7 +384,11 @@ def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
                                      sdf_rays_fn=sdf_rays_fn)
     dense = resolve_dense(params, rcfg)
     inv_s = fields.variance_inv_s(params["variance"])
+    S_total = z_vals.shape[1]
+    tile_rays = (max(1, rcfg.march_tile // S_total) if rcfg.march_tile
+                 else None)
     return fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
+                           tile_rays=tile_rays,
                            save_acts=(rcfg.march_acts == "save"),
                            interpret=(rcfg.fused_march == "interpret"))
 
