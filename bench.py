@@ -41,13 +41,16 @@ def main():
     from color_neus_tpu.models.camera import CameraConfig
     from color_neus_tpu.models import trainer as TR
 
-    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 2048))
+    # 1280 rays x 512 samples with the saved-activations backward is the
+    # measured single-chip throughput peak (stash ~10 GB HBM; 1792 OOMs,
+    # recompute at any batch plateaus ~14% lower)
+    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 1280))
     iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
 
     # fused kernels keep activations in VMEM, so remat chunking is pure
     # overhead at this size — unchunked by default
     ray_chunk = int(__import__("os").environ.get("BENCH_RAY_CHUNK", 0))
-    march_acts = __import__("os").environ.get("BENCH_MARCH_ACTS", "recompute")
+    march_acts = __import__("os").environ.get("BENCH_MARCH_ACTS", "save")
     rcfg = RendererConfig(
         kind="color_neus",
         n_samples=256, n_importance=256, up_sample_steps=4,

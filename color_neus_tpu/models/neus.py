@@ -389,7 +389,7 @@ def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
                  else None)
     return fused_ray_march(dense, rcfg, rays_o, rays_d, z_vals, inv_s,
                            tile_rays=tile_rays,
-                           save_acts=(rcfg.march_acts == "save"),
+                           save_acts=rcfg.march_acts,
                            interpret=(rcfg.fused_march == "interpret"))
 
 

@@ -35,6 +35,7 @@ Validated against jax.grad of the XLA render core in interpret mode
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -478,11 +479,45 @@ def default_tile_rays(S: int) -> int:
     return max(1, 1024 // S)
 
 
+# HBM the auto policy will let the saved-activation stash occupy. The
+# stash competes with params/optimizer/batch for the chip's HBM (v5e:
+# 16 GB); 10 GB covers every realistic training batch (512 rays x 128
+# samples ~ 1 GB) while refusing bench-scale extremes that OOM.
+_STASH_BUDGET_GB = 10.0
+
+
+def march_stash_bytes(meta, n_pts: int) -> int:
+    """HBM bytes the save-acts backward stash occupies for n_pts points."""
+    DX, DCR, DG = stash_lane_widths(meta)
+    store = jnp.dtype(_BWD_STORE[0]).itemsize
+    return n_pts * ((DX + DCR) * store + DG * 4)
+
+
+def resolve_save_acts(policy, meta, n_pts: int) -> bool:
+    """Map a march_acts policy to a concrete save/recompute choice.
+
+    'save'/'recompute' are explicit; 'auto' (the default) saves when the
+    activation stash fits the HBM budget (env MARCH_STASH_BUDGET_GB,
+    default 10) — measured +16% step throughput when it fits — and
+    falls back to the recompute backward when it would not.
+    """
+    if policy in (True, "save"):
+        return True
+    if policy in (False, "recompute", None):
+        return False
+    if policy != "auto":
+        raise ValueError(f"march_acts policy {policy!r} not in "
+                         "('auto', 'save', 'recompute')")
+    budget_gb = float(os.environ.get("MARCH_STASH_BUDGET_GB",
+                                     _STASH_BUDGET_GB))
+    return march_stash_bytes(meta, n_pts) <= budget_gb * 1024 ** 3
+
+
 def fused_ray_march(dense: dict, rcfg: RendererConfig,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     z_vals: jnp.ndarray, inv_s,
                     tile_rays: int | None = None, interpret: bool = False,
-                    save_acts: bool = False):
+                    save_acts: bool | str = "auto"):
     """Fused render core for the training-loss path.
 
     Returns [R, 16]: color(0:3), weight_sum(3), delta_sum(4),
@@ -490,14 +525,16 @@ def fused_ray_march(dense: dict, rcfg: RendererConfig,
     compute_loss consumes. Differentiable wrt `dense`, the rays, and
     inv_s; z_vals are treated as constants (no-grad sampling).
 
-    save_acts=True makes the forward kernel export the per-point
-    activation stash to HBM and the backward load it instead of
-    recomputing — identical math and store dtypes (gradients equal up
-    to compiler fma reassociation), ~1x forward GEMMs fewer in the
-    backward at ~19 KB/point of HBM round trip.
+    save_acts=True (or 'save') makes the forward kernel export the
+    per-point activation stash to HBM and the backward load it instead
+    of recomputing — identical math and store dtypes (gradients equal
+    up to compiler fma reassociation), ~1x forward GEMMs fewer in the
+    backward at ~16 KB/point of HBM round trip. 'auto' (default) saves
+    only when the stash fits the HBM budget (resolve_save_acts).
     """
     ws, bs, meta = pack_pipeline_weights(dense, rcfg)
     R, S = z_vals.shape
+    save_acts = resolve_save_acts(save_acts, meta, R * S)
     Rt = tile_rays or default_tile_rays(S)
     R_pad = (R + Rt - 1) // Rt * Rt
     zero1 = jnp.zeros((R, 1), jnp.float32)

@@ -165,3 +165,30 @@ def test_march_save_acts_matches_recompute(key, rcfg):
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_resolve_save_acts_policy(key, monkeypatch):
+    """'auto' saves iff the stash fits the HBM budget; explicit values
+    pass through; junk raises."""
+    from color_neus_tpu.ops.pallas.point_pipeline import pack_pipeline_weights
+    from color_neus_tpu.ops.pallas.ray_march import (
+        march_stash_bytes, resolve_save_acts)
+
+    params = neus.init_renderer(key, SMALL_COLOR)
+    dense = resolve_dense(params, SMALL_COLOR)
+    _, _, meta = pack_pipeline_weights(dense, SMALL_COLOR)
+
+    n_pts = 4 * (SMALL_COLOR.n_samples + SMALL_COLOR.n_importance)
+    bts = march_stash_bytes(meta, n_pts)
+    assert bts > 0 and march_stash_bytes(meta, 2 * n_pts) == 2 * bts
+
+    for v in (True, "save"):
+        assert resolve_save_acts(v, meta, n_pts) is True
+    for v in (False, "recompute", None):
+        assert resolve_save_acts(v, meta, n_pts) is False
+    with pytest.raises(ValueError):
+        resolve_save_acts("sometimes", meta, n_pts)
+
+    monkeypatch.setenv("MARCH_STASH_BUDGET_GB", str(bts / 1024 ** 3))
+    assert resolve_save_acts("auto", meta, n_pts) is True
+    assert resolve_save_acts("auto", meta, n_pts + 1) is False
