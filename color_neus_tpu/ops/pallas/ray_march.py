@@ -355,7 +355,7 @@ def _march_fwd_call(meta, TS, interpret, sample_dist, ws, bs,
             out_shape.append(jax.ShapeDtypeStruct((n_pad, D), dt))
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)}
+            vmem_limit_bytes=112 * 1024 * 1024)}
     outs = pl.pallas_call(
         partial(_march_fwd_entry, meta, T, S, not interpret, sample_dist,
                 save),
@@ -420,7 +420,7 @@ def _march_bwd_call(meta, TS, interpret, sample_dist, ws, bs,
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024)}
+            vmem_limit_bytes=112 * 1024 * 1024)}
     outs = pl.pallas_call(
         partial(_march_bwd_entry, meta, T, S, not interpret, sample_dist,
                 load),
