@@ -41,10 +41,12 @@ def main():
     from color_neus_tpu.models.camera import CameraConfig
     from color_neus_tpu.models import trainer as TR
 
-    # 1280 rays x 512 samples with the saved-activations backward is the
-    # measured single-chip throughput peak (stash ~10 GB HBM; 1792 OOMs,
-    # recompute at any batch plateaus ~14% lower)
-    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 1280))
+    # 2048 rays x 512 samples with the saved-activations backward is the
+    # measured single-chip throughput peak. The stash's f32 gate plane
+    # is gone (gates rebuild from the stored softplus outputs in the
+    # backward kernel: ~11 KB/pt), so batches that OOM'd at the round-2
+    # stash size now fit; recompute at any batch plateaus ~14% lower.
+    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 2048))
     iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
 
     # fused kernels keep activations in VMEM, so remat chunking is pure

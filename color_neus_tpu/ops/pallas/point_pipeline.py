@@ -771,9 +771,17 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
 # in-kernel slices never relayout:
 #   SX  [T, sum Xs widths]       sdf layer inputs, store dtype
 #   SCR [T, sum Cs + Rs widths]  color+relight layer inputs, store dtype
-#   SG  [T, 128 + sum Gs widths] f32: outs (13 used lanes of 128) + gates
+#   SG  [T, 128] f32             outs (13 used lanes of 128)
 # Phases are NOT stored: the backward recomputes them from `pin` with
 # one [T, 8] @ [8, dp] dot per encoder (cheaper than 320 f32 lanes).
+# Gates are NOT stored either: h_{l+1} = softplus100(a_l) IS the next
+# layer's stored input, and softplus inverts into the gate with one
+# elementwise exp — sigmoid(100 a) == 1 - exp(-100 h). That identity
+# holds on the zero-padded lanes too (a = 0 -> h = ln2/100 -> gate 0.5)
+# and cut the stash from ~19 KB/pt to ~11 KB/pt (the f32 gate plane was
+# 42% of the HBM round trip). The reconstructed gate inherits the bf16
+# rounding of the stored h (the f32-stored plane was exact);
+# tools/grad_audit.py quantifies the production delta.
 
 def _stash_widths(meta):
     xw = [meta.layers[l][1] for l in range(meta.n_sdf)]
@@ -787,30 +795,30 @@ def _stash_widths(meta):
 def stash_lane_widths(meta):
     """(DX, DCR, DG): lane widths of the flattened stash tensors."""
     xw, gw, cw, rw = _stash_widths(meta)
-    return sum(xw), sum(cw) + sum(rw), 128 + sum(gw)
+    return sum(xw), sum(cw) + sum(rw), 128
 
 
 def flatten_stash(meta, outs, stash):
     """(outs, stash) -> (SX, SCR, SG) for HBM export (phases dropped)."""
-    Xs, Gs, Cs, Rs, _pe, _pc, _pr = stash
+    Xs, _Gs, Cs, Rs, _pe, _pc, _pr = stash
     sdf, grad, gc, relit, delta = outs
     T = sdf.shape[0]
     SX = jnp.concatenate(Xs, axis=1)
     SCR = jnp.concatenate(list(Cs) + list(Rs), axis=1)
-    outs128 = jnp.concatenate(
+    SG = jnp.concatenate(
         [sdf, grad, gc, relit, delta, jnp.zeros((T, 115), jnp.float32)],
         axis=1)
-    SG = jnp.concatenate([outs128] + list(Gs), axis=1)
     return SX, SCR, SG
 
 
 def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
     """(SX, SCR, SG) + pin -> (outs, stash), phases recomputed from pin.
 
-    Inverse of flatten_stash up to the dropped phases; the values are
-    what _mlp_recompute would return (the store dtypes match and
-    outs/gates travel f32), equal up to compiler fma/fusion
-    reassociation."""
+    Inverse of flatten_stash up to the dropped phases and gates; the
+    values are what _mlp_recompute would return (the store dtypes
+    match and outs travel f32), equal up to compiler fma/fusion
+    reassociation plus the store-dtype rounding of the reconstructed
+    gates (exact when the store dtype is f32 — interpret/oracle)."""
     xw, gw, cw, rw = _stash_widths(meta)
     Xs, o = [], 0
     for wd in xw:
@@ -825,10 +833,16 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         Rs.append(SCR[:, o:o + wd])
         o += wd
     outs = (SG[:, 0:1], SG[:, 1:4], SG[:, 4:7], SG[:, 7:10], SG[:, 10:13])
-    Gs, o = [], 128
-    for wd in gw:
-        Gs.append(SG[:, o:o + wd])
-        o += wd
+    # gate reconstruction: layer l's gate from layer l+1's stored input
+    # (undoing the skip concat's 1/sqrt(2) scaling where needed)
+    sqrt2 = math.sqrt(2.0)
+    Gs = []
+    for l in range(meta.n_sdf - 1):
+        kind_n, in_p_n, _out_p_n, _ = meta.layers[l + 1]
+        h = Xs[l + 1].astype(jnp.float32)
+        if kind_n == "sdf_skip":
+            h = h[:, : in_p_n - meta.d0p] * sqrt2
+        Gs.append(1.0 - jnp.exp(-100.0 * h))
     phase_e = jnp.dot(pin, bm_e_ref[:][0:8],
                       preferred_element_type=jnp.float32)
     phase_c = jnp.dot(pin, bm_c_ref[:][0:8],
