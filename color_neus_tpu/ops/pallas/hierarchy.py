@@ -30,6 +30,7 @@ with static shapes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -230,7 +231,14 @@ def fused_hierarchy_z(params_sdf: dict, rcfg: RendererConfig,
     m = rcfg.n_importance // steps
     S4 = S0 + steps * m
     R = rays_o.shape[0]
-    Rt = tile_rays or max(1, 1024 // S4)
+    # Hierarchy tiles are much lighter than march tiles (8-layer SDF
+    # value sweep, no grads, no stash): the march formula's Rt=2 left
+    # the per-tile MLPs 128-512 rows — latency-bound — and serialized
+    # ~R/2 grid steps (47 ms at the flagship shape). 4096 points/tile
+    # keeps every in-kernel sweep >=512 rows while the [T, S] one-hot
+    # merge masks stay ~7 MB (VMEM cap 100 MB).
+    Rt = tile_rays or int(os.environ.get(
+        "HIER_TILE", min(64, max(1, 4096 // S4))))
     R_pad = (R + Rt - 1) // Rt * Rt
 
     rays_o = jax.lax.stop_gradient(rays_o)
@@ -251,6 +259,12 @@ def fused_hierarchy_z(params_sdf: dict, rcfg: RendererConfig,
 
     ws, bs, meta = pack_sdf_weights(jax.lax.stop_gradient(params_sdf),
                                     rcfg.sdf)
+    if not interpret:
+        # bf16 sweep dots (_sdf_layers follows the weight dtype), same
+        # as the production XLA sweep path (sdf_mlp.py bf16 note): the
+        # hierarchy only places no-grad z samples, and the coarse sweep
+        # is the kernel's one throughput-bound matmul block.
+        ws = tuple(w.astype(jnp.bfloat16) for w in ws)
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
     bm = pe_basis(rcfg.sdf.multires, rcfg.sdf.scale, 0, d0p)

@@ -4,7 +4,11 @@ Compares fused_hierarchy_z (compiled) vs hierarchical_z_vals (XLA path)
 on identical inputs, and times both. Run on the real chip.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
