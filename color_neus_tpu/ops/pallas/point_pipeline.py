@@ -792,19 +792,61 @@ def _stash_widths(meta):
     return xw, gw, cw, rw
 
 
+def _stash_stored_widths(meta):
+    """Per-layer STORED widths: layer-input segments the backward can
+    rebuild from `pin` + the SG outs plane are not exported at all —
+    the PE embedding (layer 0 and the skip concat's emb half; one
+    [T, 8] @ [8, d0p] dot + sin/cos to rebuild), the color/relight
+    first-layer [small | dirs] prefix (pts from pin, grad/gc from SG),
+    and the yin layer's gc block. Every dropped segment is a
+    128-multiple, so the kept slices never relayout. ~21% of the
+    round-2 stash bytes at the flagship config."""
+    xw, gw, cw, rw = _stash_widths(meta)
+    xs = []
+    for l in range(meta.n_sdf):
+        kind, in_p, _, _ = meta.layers[l]
+        if l == 0:
+            xs.append(0)                      # emb: rebuilt from pin
+        elif kind == "sdf_skip":
+            xs.append(in_p - meta.d0p)        # h half only
+        else:
+            xs.append(in_p)
+    featp = _rup(meta.feat_dim)
+    cs = [featp if l == 0 else cw[l] for l in range(meta.n_color)]
+    rs = []
+    for l in range(meta.n_relight):
+        kind, in_p, _, _ = meta.layers[meta.n_sdf + meta.n_color + l]
+        if kind == "relight_first":
+            rs.append(0)                      # [small | dirs_r]: rebuilt
+        elif kind == "relight_yin":
+            rs.append(in_p - 128)             # h half only (gc from SG)
+        else:
+            rs.append(in_p)
+    return xs, cs, rs
+
+
 def stash_lane_widths(meta):
     """(DX, DCR, DG): lane widths of the flattened stash tensors."""
-    xw, gw, cw, rw = _stash_widths(meta)
-    return sum(xw), sum(cw) + sum(rw), 128
+    xs, cs, rs = _stash_stored_widths(meta)
+    return sum(xs), sum(cs) + sum(rs), 128
 
 
 def flatten_stash(meta, outs, stash):
-    """(outs, stash) -> (SX, SCR, SG) for HBM export (phases dropped)."""
+    """(outs, stash) -> (SX, SCR, SG) for HBM export (phases dropped,
+    rebuildable layer-input segments sliced off — _stash_stored_widths)."""
     Xs, _Gs, Cs, Rs, _pe, _pc, _pr = stash
     sdf, grad, gc, relit, delta = outs
     T = sdf.shape[0]
-    SX = jnp.concatenate(Xs, axis=1)
-    SCR = jnp.concatenate(list(Cs) + list(Rs), axis=1)
+    xs, cs, rs = _stash_stored_widths(meta)
+    # skip layers keep the PREFIX (input = [h | emb]); color_first /
+    # relight_yin keep the SUFFIX (input = [rebuildable | kept])
+    xparts = [Xs[l][:, :xs[l]] for l in range(meta.n_sdf) if xs[l] > 0]
+    cparts = [Cs[l][:, Cs[l].shape[1] - cs[l]:] for l in range(meta.n_color)
+              if cs[l] > 0]
+    rparts = [Rs[l][:, Rs[l].shape[1] - rs[l]:] for l in range(meta.n_relight)
+              if rs[l] > 0]
+    SX = jnp.concatenate(xparts, axis=1)
+    SCR = jnp.concatenate(cparts + rparts, axis=1)
     SG = jnp.concatenate(
         [sdf, grad, gc, relit, delta, jnp.zeros((T, 115), jnp.float32)],
         axis=1)
@@ -818,21 +860,67 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
     values are what _mlp_recompute would return (the store dtypes
     match and outs travel f32), equal up to compiler fma/fusion
     reassociation plus the store-dtype rounding of the reconstructed
-    gates (exact when the store dtype is f32 — interpret/oracle)."""
-    xw, gw, cw, rw = _stash_widths(meta)
-    Xs, o = [], 0
-    for wd in xw:
-        Xs.append(SX[:, o:o + wd])
-        o += wd
-    Cs, o = [], 0
-    for wd in cw:
-        Cs.append(SCR[:, o:o + wd])
-        o += wd
-    Rs = []
-    for wd in rw:
-        Rs.append(SCR[:, o:o + wd])
-        o += wd
+    gates (exact when the store dtype is f32 — interpret/oracle).
+
+    Dropped segments (_stash_stored_widths) are rebuilt here: the PE
+    embeddings from pin (the dots the phases already need), `small`
+    from pin + the SG grad lanes, and the yin gc block from the SG gc
+    lanes. The rebuilt values are f32 of the same expressions the
+    forward stored; every consumer casts to the dot dtype on use, so
+    production gradients are unchanged (bf16(f32 x) == stored bf16 x)
+    and the interpret/oracle path stays exact."""
+    T = pin.shape[0]
+    store = SX.dtype
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
     outs = (SG[:, 0:1], SG[:, 1:4], SG[:, 4:7], SG[:, 7:10], SG[:, 10:13])
+    grad_sg = SG[:, 1:4]
+    gc_sg = SG[:, 4:7]
+
+    emb, phase_e = _encode(pin, bm_e_ref[:])
+    dirs_c, phase_c = _encode(pin, bm_c_ref[:])
+    dirs_r = phase_r = None
+    if meta.n_relight > 0:
+        dirs_r, phase_r = _encode(pin, bm_r_ref[:])
+    small = jnp.concatenate(
+        [pin[:, 0:3], grad_sg, jnp.zeros((T, 122), jnp.float32)], axis=1)
+
+    xs, cs, rs = _stash_stored_widths(meta)
+    Xs, o = [], 0
+    for l in range(meta.n_sdf):
+        kind, in_p, _, _ = meta.layers[l]
+        kept = SX[:, o:o + xs[l]]
+        o += xs[l]
+        if l == 0:
+            Xs.append(emb.astype(store))
+        elif kind == "sdf_skip":
+            Xs.append(jnp.concatenate(
+                [kept, (emb * inv_sqrt2).astype(store)], axis=1))
+        else:
+            Xs.append(kept)
+    Cs, o = [], 0
+    for l in range(meta.n_color):
+        kept = SCR[:, o:o + cs[l]]
+        o += cs[l]
+        if l == 0:
+            Cs.append(jnp.concatenate(
+                [small.astype(store), dirs_c.astype(store), kept], axis=1))
+        else:
+            Cs.append(kept)
+    Rs = []
+    for l in range(meta.n_relight):
+        kind, in_p, _, _ = meta.layers[meta.n_sdf + meta.n_color + l]
+        kept = SCR[:, o:o + rs[l]]
+        o += rs[l]
+        if kind == "relight_first":
+            Rs.append(jnp.concatenate(
+                [small, dirs_r], axis=1).astype(store))
+        elif kind == "relight_yin":
+            gc_block = jnp.concatenate(
+                [gc_sg, jnp.zeros((T, 125), jnp.float32)], axis=1)
+            Rs.append(jnp.concatenate(
+                [gc_block.astype(store), kept], axis=1))
+        else:
+            Rs.append(kept)
     # gate reconstruction: layer l's gate from layer l+1's stored input
     # (undoing the skip concat's 1/sqrt(2) scaling where needed)
     sqrt2 = math.sqrt(2.0)
