@@ -110,11 +110,39 @@ def main():
 
     dt = float(np.median(times))
     rays_per_s = n_rays * k_steps / dt
+
+    # ---- model-GEMM FLOP accounting (VERDICT r2 #9): TFLOP/s and
+    # %-of-peak next to rays/s so perf claims are hardware-normalized.
+    # Counts the padded MXU GEMMs of the march fwd+bwd kernels and the
+    # hierarchy's SDF sweeps; VPU/elementwise work excluded.
+    from color_neus_tpu.ops.pallas.ray_march import (
+        march_gemm_flops_per_point, resolve_save_acts)
+    from color_neus_tpu.ops.pallas.point_pipeline import (
+        pack_pipeline_weights, resolve_dense)
+    from color_neus_tpu.ops.pallas.sdf_mlp import pack_sdf_weights
+    params = state["params"]["renderer"]
+    dense = resolve_dense(params, rcfg)
+    _, _, meta = pack_pipeline_weights(dense, rcfg)
+    S_total = rcfg.n_samples + rcfg.n_importance
+    save = resolve_save_acts(rcfg.march_acts, meta, n_rays * S_total,
+                             budget_gb=rcfg.march_stash_budget_gb)
+    f_fwd, f_bwd = march_gemm_flops_per_point(meta, save)
+    ws_s, _, _ = pack_sdf_weights(params["sdf"], rcfg.sdf)
+    f_sweep = sum(2 * w.shape[0] * w.shape[1] for w in ws_s)
+    m = rcfg.n_importance // rcfg.up_sample_steps
+    sweep_pts = rcfg.n_samples + (rcfg.up_sample_steps - 1) * m
+    flops_per_step = n_rays * (S_total * (f_fwd + f_bwd)
+                               + sweep_pts * f_sweep)
+    tflops = flops_per_step * k_steps / dt / 1e12
+    # v5e bf16 MXU peak; override for other chips (v5p: 459)
+    peak = float(__import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0))
     print(json.dumps({
         "metric": "rays_per_s_per_chip_fwd_bwd_512spp",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "tflops": round(tflops, 1),
+        "pct_peak": round(100.0 * tflops / peak, 1),
     }))
 
 

@@ -104,6 +104,11 @@ class RendererConfig:
     # march kernel point-tile size (0 = default 1024); lower it if the
     # save-mode stash blocks exceed VMEM at large S
     march_tile: int = 0
+    # HBM budget (GB) the march_acts='auto' policy allows the saved-
+    # activation stash before falling back to the recompute backward
+    march_stash_budget_gb: float = 10.0
+    # fused-hierarchy kernel ray-tile size (0 = auto: ~4096 points)
+    hier_tile: int = 0
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -152,6 +157,8 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         march_acts=_lower_get(rcfg, "MARCH_ACTS", "auto"),
         march_tile=_lower_get(rcfg, "MARCH_TILE", 0),
+        march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 10.0),
+        hier_tile=_lower_get(rcfg, "HIER_TILE", 0),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -26,7 +26,7 @@ from color_neus_tpu.models.camera import (
 from color_neus_tpu.models import neus
 from color_neus_tpu.ops.rays import (
     near_far_from_sphere, rays_for_pixels, all_rays_for_camera,
-    sample_pixels_uniform, sample_pixels_masked,
+    sample_pixels_uniform, sample_pixels_masked, sample_pixels_masked_exact,
 )
 
 
@@ -42,6 +42,11 @@ class TrainerConfig:
     opengl: bool = False
     include_mask: bool = True
     mask_rate: tuple = (0.5, 0.8)
+    # masked pixel sampling: 'bernoulli' (default — each ray lands
+    # in-mask with prob mask_rate, with replacement) or 'exact' (strict
+    # reference parity: exactly int(rate * n_rays) in-mask rays, drawn
+    # without replacement — ray_utils.py:61-76 semantics)
+    mask_sample_mode: str = "bernoulli"
     # replicate the maskless-path quirk (rays only from image 0) when asked
     first_image_only_quirk: bool = False
 
@@ -86,6 +91,7 @@ def trainer_config_from_cfg(cfg: dict, H: int, W: int, n_cams: int) -> TrainerCo
         opengl=dp.get("OPENGL_SYS", False),
         include_mask=include_mask,
         mask_rate=tuple(m.get("MASK_RATE", (0.5, 0.8))) if include_mask else None,
+        mask_sample_mode=dp.get("MASK_SAMPLE_MODE", "bernoulli"),
         # replicate the reference's maskless-path quirk on request
         # (rays only from image 0, SURVEY §3.6 / ray_utils.py:57-59)
         first_image_only_quirk=dp.get("FIRST_IMAGE_ONLY_QUIRK", False),
@@ -272,7 +278,10 @@ def render_random_rays(params, scene, cfg: TrainerConfig, images, masks, img_ids
 
     if cfg.include_mask and masks is not None:
         rate = _mask_rate_at(cfg, step)
-        cam_sel, py, px, sel_mask = sample_pixels_masked(k_pix, masks, cfg.n_rays, rate)
+        sampler = (sample_pixels_masked_exact
+                   if cfg.mask_sample_mode == "exact"
+                   else sample_pixels_masked)
+        cam_sel, py, px, sel_mask = sampler(k_pix, masks, cfg.n_rays, rate)
     else:
         cam_sel, py, px = sample_pixels_uniform(
             k_pix, B, H, W, cfg.n_rays, first_image_only=cfg.first_image_only_quirk)

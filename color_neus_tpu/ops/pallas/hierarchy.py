@@ -30,7 +30,6 @@ with static shapes.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -237,8 +236,11 @@ def fused_hierarchy_z(params_sdf: dict, rcfg: RendererConfig,
     # ~R/2 grid steps (47 ms at the flagship shape). 4096 points/tile
     # keeps every in-kernel sweep >=512 rows while the [T, S] one-hot
     # merge masks stay ~7 MB (VMEM cap 100 MB).
-    Rt = tile_rays or int(os.environ.get(
-        "HIER_TILE", min(64, max(1, 4096 // S4))))
+    # tile priority: explicit arg > hier_tile config field > auto
+    # (~4096 points). Clamped to >= 1 (0/negative would corrupt the
+    # padding arithmetic below).
+    Rt = max(1, int(tile_rays or rcfg.hier_tile
+                    or min(64, max(1, 4096 // S4))))
     R_pad = (R + Rt - 1) // Rt * Rt
 
     rays_o = jax.lax.stop_gradient(rays_o)

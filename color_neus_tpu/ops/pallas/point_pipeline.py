@@ -684,7 +684,10 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
         kind, in_p, out_p, out_real = meta.layers[l]
         if kind == "sdf_skip":
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-        Xs.append(h.astype(store))
+        # layer 0's input (the PE embedding) stays f32: it is rebuilt
+        # in-kernel (never exported to HBM — _stash_stored_widths) and
+        # feeds the f32 layer-0 weight-grad dot (grad-audit fix)
+        Xs.append(h if l == 0 else h.astype(store))
         a = _kdot(h, w_refs[l][:], bf16) + b_refs[l][:]
         if l < L - 1:
             h, g = _softplus100_and_gate(a)
@@ -845,7 +848,11 @@ def flatten_stash(meta, outs, stash):
               if cs[l] > 0]
     rparts = [Rs[l][:, Rs[l].shape[1] - rs[l]:] for l in range(meta.n_relight)
               if rs[l] > 0]
-    SX = jnp.concatenate(xparts, axis=1)
+    # Xs[0] is f32 (rebuilt in-kernel, layer-0 grad-audit fix); the
+    # exported parts all carry the store dtype — take it from Xs[-1]
+    store = Xs[-1].dtype
+    SX = (jnp.concatenate(xparts, axis=1) if xparts
+          else jnp.zeros((T, 0), store))
     SCR = jnp.concatenate(cparts + rparts, axis=1)
     SG = jnp.concatenate(
         [sdf, grad, gc, relit, delta, jnp.zeros((T, 115), jnp.float32)],
@@ -891,7 +898,8 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         kept = SX[:, o:o + xs[l]]
         o += xs[l]
         if l == 0:
-            Xs.append(emb.astype(store))
+            # f32 on purpose — see _mlp_recompute (layer-0 grad-audit fix)
+            Xs.append(emb)
         elif kind == "sdf_skip":
             Xs.append(jnp.concatenate(
                 [kept, (emb * inv_sqrt2).astype(store)], axis=1))
@@ -931,14 +939,8 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         if kind_n == "sdf_skip":
             h = h[:, : in_p_n - meta.d0p] * sqrt2
         Gs.append(1.0 - jnp.exp(-100.0 * h))
-    phase_e = jnp.dot(pin, bm_e_ref[:][0:8],
-                      preferred_element_type=jnp.float32)
-    phase_c = jnp.dot(pin, bm_c_ref[:][0:8],
-                      preferred_element_type=jnp.float32)
-    phase_r = None
-    if meta.n_relight > 0:
-        phase_r = jnp.dot(pin, bm_r_ref[:][0:8],
-                          preferred_element_type=jnp.float32)
+    # phase_e/phase_c/phase_r come straight from _encode above — the
+    # same dot the recomputed embeddings already needed.
     return outs, (Xs, Gs, Cs, Rs, phase_e, phase_c, phase_r)
 
 
@@ -990,7 +992,9 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         for l in range(meta.n_relight - 1, -1, -1):
             li_l = meta.n_sdf + meta.n_color + l
             kind, in_p, out_p, out_real = meta.layers[li_l]
-            Xl = Rs[l].astype(jnp.float32)
+            # Rs[l] stays in its store dtype: _kdot_b casts to the dot
+            # dtype itself, and the relu-gate compares work on bf16
+            Xl = Rs[l]
             w_hat_refs[li_l][:] += _kdot_b(Xl, hbar, bf16)
             b_hat_refs[li_l][:] += jnp.sum(hbar, axis=0, keepdims=True)
             xbar = _kdot(hbar, wt_refs[li_l][:], bf16)
@@ -999,9 +1003,11 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
                 xbar = xbar[:, 128:]
             if l > 0:
                 # relu between layer l-1's output and this input
+                # (compare in f32 — the VPU has no bf16 cmpf)
                 relu_gate = (Xl[:, 128:128 + xbar.shape[1]] if kind == "relight_yin"
                              else Xl)
-                hbar = xbar * (relu_gate[:, :xbar.shape[1]] > 0.0)
+                hbar = xbar * (relu_gate[:, :xbar.shape[1]]
+                               .astype(jnp.float32) > 0.0)
             else:
                 pts_hat = pts_hat + xbar[:, 0:3]
                 grad_hat = grad_hat + xbar[:, 3:6]
@@ -1024,12 +1030,12 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     for l in range(meta.n_color - 1, -1, -1):
         li_l = liC0 + l
         kind, in_p, out_p, out_real = meta.layers[li_l]
-        Xl = Cs[l].astype(jnp.float32)
+        Xl = Cs[l]
         w_hat_refs[li_l][:] += _kdot_b(Xl, hbar, bf16)
         b_hat_refs[li_l][:] += jnp.sum(hbar, axis=0, keepdims=True)
         xbar = _kdot(hbar, wt_refs[li_l][:], bf16)
         if l > 0:
-            hbar = xbar * (Xl > 0.0)
+            hbar = xbar * (Xl.astype(jnp.float32) > 0.0)
     pts_hat = pts_hat + xbar[:, 0:3]
     grad_hat = grad_hat + xbar[:, 3:6]
     dirs_c_hat = xbar[:, 128:256]
@@ -1054,7 +1060,7 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         kind, in_p, out_p, out_real = meta.layers[l]
         if kind == "sdf_skip":
             v = jnp.concatenate([v, v0], axis=1) * inv_sqrt2
-        Us.append(v.astype(store))
+        Us.append(v if l == 0 else v.astype(store))
         z = _kdot(v, w_refs[l][:], bf16)
         Zs.append(z.astype(store))
         v = Gs[l] * z
@@ -1072,7 +1078,7 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     wtL = wt_refs[L - 1][:]
     col0 = (jax.lax.broadcasted_iota(jnp.int32, (in_pL, out_pL), 1)
             == 0).astype(jnp.float32)
-    w_hat_refs[L - 1][:] += _kdot_b(Xs[L - 1].astype(jnp.float32), ybar, bf16) \
+    w_hat_refs[L - 1][:] += _kdot_b(Xs[L - 1], ybar, bf16) \
         + col0 * (inv_scale * jnp.sum(uL, axis=0))[:, None]
     b_hat_refs[L - 1][:] += jnp.sum(ybar, axis=0, keepdims=True)
     hbar = _kdot(ybar, wtL, bf16)                       # cot of x_{L-1}
@@ -1092,8 +1098,14 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         z = Zs[l].astype(jnp.float32)
         abar = g * hbar + (ubar * z) * (100.0 * g * (1.0 - g))
         zbar = g * ubar
-        w_hat_refs[l][:] += _kdot_b(Xs[l].astype(jnp.float32), abar, bf16) \
-            + _kdot_b(Us[l].astype(jnp.float32), zbar, bf16)
+        # layer 0's weight grad runs in f32 on f32 inputs: its input
+        # rows are the PE embedding (rebuilt in-kernel, kept f32), whose
+        # bf16 rounding was the dominant term of the sdf/lin0 gradient
+        # error (grad audit: 9.46% norm-rel-err). One [d0p, 256] f32
+        # dot per tile — negligible cost; every other layer stays bf16.
+        bfl = bf16 and l > 0
+        w_hat_refs[l][:] += _kdot_b(Xs[l], abar, bfl) \
+            + _kdot_b(Us[l], zbar, bfl)
         b_hat_refs[l][:] += jnp.sum(abar, axis=0, keepdims=True)
         hbar = _kdot(abar, wt_refs[l][:], bf16)
         ubar = _kdot(zbar, wt_refs[l][:], bf16)

@@ -199,6 +199,15 @@ def _march_fwd_kernel(meta, T, S, bf16, sample_dist, save, refs):
     out_ref[:] = _seg_sum(seg, payload)[None]          # [1, Rt, 16]
     if save:
         SX, SCR, SG = flatten_stash(meta, c["outs"], c["stash"])
+        # pack the compositing scalars into SG's free f32 lanes
+        # (13:21) so the backward loads them instead of re-running the
+        # compositing forward (incl. the transmittance cumprod scan) —
+        # bit-identical values, ~zero extra bytes (the lanes were zero
+        # padding)
+        comp = jnp.concatenate(
+            [c["ep"], c["en"], c["pc"], c["nc"], c["q"], c["u"],
+             c["Tr"], c["w"]], axis=1)                 # [T, 8]
+        SG = jnp.concatenate([SG[:, :13], comp, SG[:, 21:]], axis=1)
         sx_ref[:] = SX
         scr_ref[:] = SCR
         sg_ref[:] = SG
@@ -245,17 +254,42 @@ def _march_bwd_kernel(meta, T, S, bf16, sample_dist, load, refs):
     seg = _seg_matrix(Rt, T, S)
     inv_s = sinv_ref[:][0:1, 0:1]
 
-    def mlp_fn(pin):
-        if load:
-            # activations saved by the forward kernel; phases rebuilt
-            # from pin inside unflatten_stash
-            return unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref,
-                                   sx_ref[:], scr_ref[:], sg_ref[:])
-        return _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
-                              bm_e_ref, bm_c_ref, bm_r_ref, pin)
+    if load:
+        # geometry rebuilt (cheap [T, 8]-level ops); MLP values +
+        # compositing scalars loaded from the stash — the compositing
+        # forward (incl. the transmittance cumprod scan) is NOT re-run
+        z = z_ref[:]
+        raysb = _seg_bcast(seg, rays_ref[0])
+        dists = jnp.where(loc == S - 1, sample_dist,
+                          _shift_up(z, 1, bf16) - z)
+        mid = z + dists * 0.5
+        rd = raysb[:, 4:7]
+        pts = raysb[:, 0:3] + rd * mid
+        zero1 = jnp.zeros((T, 1), jnp.float32)
+        pin = jnp.concatenate([pts, zero1, rd, zero1], axis=1)
+        outs, stash = unflatten_stash(meta, pin, bm_e_ref, bm_c_ref,
+                                      bm_r_ref, sx_ref[:], scr_ref[:],
+                                      sg_ref[:])
+        _sdf, grad_v, _gc, _relit, _delta = outs
+        sg = sg_ref[:]
+        q = sg[:, 17:18]
+        alpha = jnp.clip(q, 0.0, 1.0)
+        relaxed = (jnp.sqrt(jnp.sum(pts * pts, axis=1, keepdims=True))
+                   < 1.2).astype(jnp.float32)
+        normg = jnp.sqrt(jnp.sum(grad_v * grad_v, axis=1, keepdims=True))
+        tc = jnp.sum(rd * grad_v, axis=1, keepdims=True)
+        c = dict(pin=pin, outs=outs, stash=stash, rd=rd, mid=mid,
+                 dists=dists, tc=tc, u=sg[:, 18:19], ep=sg[:, 13:14],
+                 en=sg[:, 14:15], pc=sg[:, 15:16], nc=sg[:, 16:17], q=q,
+                 alpha=alpha, xv=1.0 - alpha + 1e-7, Tr=sg[:, 19:20],
+                 w=sg[:, 20:21], relaxed=relaxed, normg=normg)
+    else:
+        def mlp_fn(pin):
+            return _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
+                                  bm_e_ref, bm_c_ref, bm_r_ref, pin)
 
-    c = _composite_fwd(meta, T, S, sample_dist, loc, seg,
-                       rays_ref[0], z_ref[:], inv_s, mlp_fn, bf16)
+        c = _composite_fwd(meta, T, S, sample_dist, loc, seg,
+                           rays_ref[0], z_ref[:], inv_s, mlp_fn, bf16)
     _sdf, grad, _gc, relit, _delta = c["outs"]
     w, Tr, xv, q, pc, nc = c["w"], c["Tr"], c["xv"], c["q"], c["pc"], c["nc"]
     rd, mid = c["rd"], c["mid"]
@@ -480,7 +514,8 @@ def default_tile_rays(S: int) -> int:
     # (2048 rays x 512 samples, save-acts): more grid steps overlap the
     # stash DMA with compute better, and the bwd kernel's VMEM stack
     # stays comfortably under the cap (2048-pt tiles OOM it). Override
-    # via MARCH_TILE (in points).
+    # via the `march_tile` config key (models/configs.py) — bench.py
+    # additionally honors BENCH_MARCH_TILE; this function reads no env.
     return max(1, 512 // S)
 
 
@@ -491,6 +526,32 @@ def default_tile_rays(S: int) -> int:
 _STASH_BUDGET_GB = 10.0
 
 
+def march_gemm_flops_per_point(meta, save_acts: bool):
+    """(fwd, bwd) MXU FLOPs per point of the fused march kernels.
+
+    Analytic model of the in-kernel GEMM chains (padded widths — what
+    the MXU actually executes), used by bench.py to report TFLOP/s and
+    %-of-peak next to rays/s. Elementwise/transcendental VPU work and
+    the tiny seg/encode dots are excluded.
+    """
+    L = meta.n_sdf
+    sdf = [2 * meta.layers[l][1] * meta.layers[l][2] for l in range(L)]
+    col = [2 * meta.layers[L + l][1] * meta.layers[L + l][2]
+           for l in range(meta.n_color)]
+    rel = [2 * meta.layers[L + meta.n_color + l][1]
+           * meta.layers[L + meta.n_color + l][2]
+           for l in range(meta.n_relight)]
+    # forward: SDF value chain + reverse grad sweep (last layer free)
+    # + color + relight heads
+    fwd = sum(sdf) + sum(sdf[:-1]) + sum(col) + sum(rel)
+    # pullback: dW+dx per head layer, the tangent stream, the last
+    # layer's dW + hbar, and the joint reverse loop (2 dW + 2 dx/layer)
+    pull = (2 * (sum(col) + sum(rel)) + sum(sdf[:-1])
+            + 2 * sdf[-1] + 4 * sum(sdf[:-1]))
+    bwd = pull + (0 if save_acts else fwd)
+    return fwd, bwd
+
+
 def march_stash_bytes(meta, n_pts: int) -> int:
     """HBM bytes the save-acts backward stash occupies for n_pts points."""
     DX, DCR, DG = stash_lane_widths(meta)
@@ -498,13 +559,15 @@ def march_stash_bytes(meta, n_pts: int) -> int:
     return n_pts * ((DX + DCR) * store + DG * 4)
 
 
-def resolve_save_acts(policy, meta, n_pts: int) -> bool:
+def resolve_save_acts(policy, meta, n_pts: int,
+                      budget_gb: float | None = None) -> bool:
     """Map a march_acts policy to a concrete save/recompute choice.
 
     'save'/'recompute' are explicit; 'auto' (the default) saves when the
-    activation stash fits the HBM budget (env MARCH_STASH_BUDGET_GB,
-    default 10) — measured +16% step throughput when it fits — and
-    falls back to the recompute backward when it would not.
+    activation stash fits the HBM budget (the march_stash_budget_gb
+    config field; env MARCH_STASH_BUDGET_GB overrides, default 10) —
+    measured +16% step throughput when it fits — and falls back to the
+    recompute backward when it would not.
     """
     if policy in (True, "save"):
         return True
@@ -513,8 +576,10 @@ def resolve_save_acts(policy, meta, n_pts: int) -> bool:
     if policy != "auto":
         raise ValueError(f"march_acts policy {policy!r} not in "
                          "('auto', 'save', 'recompute')")
-    budget_gb = float(os.environ.get("MARCH_STASH_BUDGET_GB",
-                                     _STASH_BUDGET_GB))
+    if "MARCH_STASH_BUDGET_GB" in os.environ:
+        budget_gb = float(os.environ["MARCH_STASH_BUDGET_GB"])
+    elif budget_gb is None:
+        budget_gb = _STASH_BUDGET_GB
     return march_stash_bytes(meta, n_pts) <= budget_gb * 1024 ** 3
 
 
@@ -539,7 +604,8 @@ def fused_ray_march(dense: dict, rcfg: RendererConfig,
     """
     ws, bs, meta = pack_pipeline_weights(dense, rcfg)
     R, S = z_vals.shape
-    save_acts = resolve_save_acts(save_acts, meta, R * S)
+    save_acts = resolve_save_acts(save_acts, meta, R * S,
+                                  budget_gb=rcfg.march_stash_budget_gb)
     Rt = tile_rays or default_tile_rays(S)
     R_pad = (R + Rt - 1) // Rt * Rt
     zero1 = jnp.zeros((R, 1), jnp.float32)

@@ -256,6 +256,14 @@ def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
     from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
 
     ws, bs, meta = pack_sdf_weights(params, cfg)
+    if not interpret:
+        # bf16 dots: these sweeps only PLACE no-grad importance samples
+        # (hierarchical_z_vals), where sample-position precision is not
+        # a parity target — same policy as the fused hierarchy kernel.
+        # Measured: the f32 chain ran at ~85 TF/s (the f32 MXU ceiling);
+        # bf16 lifts the coarse sweep toward the 175 TF/s softplus-chain
+        # roofline. Mesh extraction keeps f32 (make_fused_sdf_fn).
+        ws = tuple(w.astype(jnp.bfloat16) for w in ws)
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
     bm = pe_basis(cfg.multires, cfg.scale, 0, d0p)

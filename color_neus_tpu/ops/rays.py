@@ -126,6 +126,49 @@ def sample_pixels_masked(key, masks: jnp.ndarray, n_rays: int, mask_rate):
     return cam_idx, rem // W, rem % W, sel_mask
 
 
+def sample_pixels_masked_exact(key, masks: jnp.ndarray, n_rays: int,
+                               mask_rate):
+    """Exact-count masked pixel split — strict-parity variant.
+
+    Matches the reference's semantics (ray_utils.py:61-76): exactly
+    n_in = int(mask_rate * n_rays) rays land in-mask (clamped to the
+    in-mask pixel count), the rest on background, each set drawn
+    WITHOUT replacement, uniformly. The reference does this with
+    randperm over dynamic-size index sets; here it is shape-static and
+    jittable: Gumbel-top-k over the flattened [B*H*W] pixels per set
+    (a uniform random key per pixel, top_k of size n_rays), spliced at
+    the dynamic boundary n_in. Select with
+    TrainerConfig.mask_sample_mode = 'exact' (YAML
+    DATA_PRESET.MASK_SAMPLE_MODE); the default 'bernoulli' sampler
+    (sample_pixels_masked) matches it in expectation and is cheaper.
+
+    Returns (cam_idx [R], py [R], px [R], sel_mask [R]).
+    """
+    B, H, W = masks.shape
+    flat = (masks.reshape(-1) > 0.5)
+    kin, kout = jax.random.split(key)
+    neg = jnp.float32(-jnp.inf)
+    gi = jax.random.uniform(kin, flat.shape)
+    go = jax.random.uniform(kout, flat.shape)
+    # top_k over per-pixel uniform keys == a uniform sample without
+    # replacement of size n_rays from each set
+    _, in_cand = jax.lax.top_k(jnp.where(flat, gi, neg), n_rays)
+    _, out_cand = jax.lax.top_k(jnp.where(flat, neg, go), n_rays)
+    m_in = jnp.sum(flat.astype(jnp.int32))
+    m_out = flat.size - m_in
+    n_in = jnp.asarray(mask_rate * n_rays, jnp.int32)   # int() truncation
+    n_in = jnp.minimum(n_in, jnp.minimum(m_in, n_rays))
+    # defensive (reference assumes enough background pixels exist)
+    n_in = jnp.maximum(n_in, n_rays - jnp.minimum(m_out, n_rays))
+    i = jnp.arange(n_rays)
+    idx = jnp.where(i < n_in, in_cand,
+                    out_cand[jnp.clip(i - n_in, 0, n_rays - 1)])
+    sel_mask = flat[idx].astype(masks.dtype)
+    cam_idx = idx // (H * W)
+    rem = idx % (H * W)
+    return cam_idx, rem // W, rem % W, sel_mask
+
+
 # ---------------------------------------------------------------------------
 # Inverse-CDF importance sampling
 # ---------------------------------------------------------------------------

@@ -198,6 +198,33 @@ def test_sample_pixels_masked_degenerate_all_mask(key):
     assert float(jnp.min(sel)) == 1.0  # no background exists
 
 
+def test_sample_pixels_masked_exact_split(key):
+    """Strict-parity sampler: exactly int(rate*n) in-mask rays, no
+    duplicate pixels within either set (ray_utils.py:61-76 semantics)."""
+    masks = jnp.zeros((2, 16, 16)).at[0, :8].set(1.0)  # 128 of 512 in-mask
+    f = jax.jit(lambda k, r: R.sample_pixels_masked_exact(k, masks, 96, r))
+    for rate in (0.33, 0.5, 0.75):
+        cam, py, px, sel = f(key, rate)
+        n_in = int(np.sum(np.asarray(sel)))
+        assert n_in == int(rate * 96)
+        on_mask = np.asarray(masks)[np.asarray(cam), np.asarray(py),
+                                    np.asarray(px)]
+        np.testing.assert_array_equal(on_mask, np.asarray(sel))
+        flat_idx = (np.asarray(cam) * 256 + np.asarray(py) * 16
+                    + np.asarray(px))
+        # without replacement within each set
+        assert len(set(flat_idx[np.asarray(sel) > 0.5])) == n_in
+        assert len(set(flat_idx[np.asarray(sel) < 0.5])) == 96 - n_in
+
+
+def test_sample_pixels_masked_exact_clamps_to_available(key):
+    """Fewer in-mask pixels than requested -> take them all (the
+    reference's warning branch)."""
+    masks = jnp.zeros((1, 8, 8)).at[0, 0, :4].set(1.0)  # 4 in-mask pixels
+    cam, py, px, sel = R.sample_pixels_masked_exact(key, masks, 32, 0.9)
+    assert int(np.sum(np.asarray(sel))) == 4
+
+
 def test_sample_pixels_uniform_quirk(key):
     cam, py, px = R.sample_pixels_uniform(key, 8, 4, 4, 128, first_image_only=True)
     assert int(jnp.max(cam)) == 0

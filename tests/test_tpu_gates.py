@@ -46,6 +46,17 @@ def test_grad_audit_bf16_vs_f32():
         assert v["max_rel_err"] < 0.15, (grp, v)
 
 
+@pytest.mark.parametrize("acts", ["save", "recompute"])
+def test_native_kernel_shard_map_on_chip(acts):
+    """Mosaic-compiled pallas_call under jax.shard_map on a 1-device
+    Mesh of the real chip — the exact composition real multi-chip uses
+    (the CPU suite only covers it in interpret mode). Asserts loss and
+    post-update parameter equality with the unsharded fused step."""
+    rep = _run_tool("tpu_shardmap_check.py", {"SMC_MARCH_ACTS": acts},
+                    timeout=2400)
+    assert rep["pass"], rep
+
+
 def test_quality_gate_short():
     rep = _run_tool("quality_gate.py",
                     {"QG_STEPS": "200", "QG_RES": "64"}, timeout=3600)

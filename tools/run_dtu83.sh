@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# One-command DTU scan-83 readiness (VERDICT r2 "Next #7").
+#
+# The BASELINE gate is PSNR + Chamfer parity on DTU scan 83
+# (reference config/Color_NeuS_dtu.yml + lib/datasets/dtu.py:27-94).
+# No DTU data exists in this environment; this script closes the gate
+# the day data is mounted:
+#
+#   DATA_ROOT=/path/to/DTU ./tools/run_dtu83.sh [STEPS] [GT_MESH.ply]
+#
+# DATA_ROOT must contain dtu_scan83/{image,mask,cameras_sphere.npz}
+# (the standard NeuS-preprocessed layout the reference loads). Steps:
+#   1. train config/Color_NeuS_dtu.yml on scan 83 for STEPS iterations
+#      (default 100000, the reference schedule) — validation images +
+#      PSNR/SSIM land in the exp dir on the reference cadence
+#   2. extract the 512^3 mesh with vertex colors from the final
+#      checkpoint (evaluation.py -rr 512, reference README.md:88)
+#   3. if GT_MESH is given, report symmetric Chamfer via
+#      tools/mesh_compare.py (reference mesh_tools.py:59-70 workflow)
+#
+# Timing of the 512^3 extraction is recorded to
+# reports/dtu83_extract_time.txt.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+STEPS="${1:-100000}"
+GT_MESH="${2:-}"
+: "${DATA_ROOT:?set DATA_ROOT to the directory containing dtu_scan83/}"
+
+if [ ! -e "$DATA_ROOT/dtu_scan83/cameras_sphere.npz" ]; then
+    echo "ERROR: $DATA_ROOT/dtu_scan83/cameras_sphere.npz not found" >&2
+    exit 2
+fi
+
+EXP_ID="dtu83_readiness"
+echo "== train: Color_NeuS on DTU scan 83, $STEPS steps =="
+python train.py --cfg config/Color_NeuS_dtu.yml -obj 83 \
+    --exp_id "$EXP_ID" --data_root "$DATA_ROOT" \
+    --iterations "$STEPS" --allow_dirty
+
+EXP_DIR=$(ls -dt exp/${EXP_ID}_* | head -1)
+CKPT="$EXP_DIR/checkpoints/state.npz"
+echo "== extract: 512^3 mesh with vertex colors from $CKPT =="
+mkdir -p reports
+T0=$(date +%s.%N)
+python evaluation.py --cfg config/Color_NeuS_dtu.yml -obj 83 \
+    --data_root "$DATA_ROOT" -rr 512 --reload "$CKPT"
+T1=$(date +%s.%N)
+echo "512^3 extraction wall time: $(echo "$T1 - $T0" | bc) s" \
+    | tee reports/dtu83_extract_time.txt
+
+MESH=$(ls -t exp/eval_Color_NeuS_83_*/meshes/*_color.ply 2>/dev/null | head -1)
+echo "mesh: $MESH"
+
+if [ -n "$GT_MESH" ]; then
+    echo "== chamfer vs $GT_MESH =="
+    python tools/mesh_compare.py "$MESH" "$GT_MESH" | tee reports/dtu83_chamfer.txt
+fi
+echo "== done: validation PSNR/SSIM under $EXP_DIR, mesh at $MESH =="
