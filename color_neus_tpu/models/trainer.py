@@ -12,7 +12,7 @@ grad clipping matches clip_gradient (net_utils.py:174-184).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -336,7 +336,11 @@ def train_step(state, scene, cfg: TrainerConfig, images, masks, img_ids, key):
     return new_state, aux
 
 
+@lru_cache(maxsize=32)
 def make_train_step(cfg: TrainerConfig, donate: bool = True):
+    # memoized on (cfg, donate): a second TrainLoop / evaluation run in
+    # the same process with an identical config reuses the jitted step
+    # instead of recompiling (TrainerConfig is a frozen dataclass)
     fn = partial(train_step, cfg=cfg)
     wrapped = lambda state, scene, images, masks, img_ids, key: fn(
         state, scene, images=images, masks=masks, img_ids=img_ids, key=key)
@@ -357,6 +361,7 @@ def _full_data_step(cfg: TrainerConfig, n_imgs: int, b: int,
     return train_step(state, scene, cfg, images_b, masks_b, img_ids, k_step)
 
 
+@lru_cache(maxsize=32)
 def make_train_step_full(cfg: TrainerConfig, n_imgs: int, batch_size: int,
                          donate: bool = True):
     b = min(batch_size, n_imgs)
@@ -367,6 +372,7 @@ def make_train_step_full(cfg: TrainerConfig, n_imgs: int, batch_size: int,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+@lru_cache(maxsize=32)
 def make_train_multi_step(cfg: TrainerConfig, n_imgs: int, batch_size: int,
                           k_steps: int, donate: bool = True):
     """K optimization steps per dispatch via lax.scan.
@@ -392,6 +398,7 @@ def make_train_multi_step(cfg: TrainerConfig, n_imgs: int, batch_size: int,
 # Full-image rendering (validation / testing)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=32)
 def make_render_image_fn(cfg: TrainerConfig):
     """All chunks of a full image inside ONE jit (lax.map over EVAL_RAY_SIZE
     chunks) — the reference's host-side chunk loop

@@ -4,7 +4,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from color_neus_tpu.models.configs import RendererConfig, ColorConfig
+from color_neus_tpu.models.configs import RendererConfig, ColorConfig, SDFConfig
+
+# hierarchy logic is independent of the SDF width: a small no-skip MLP
+# keeps these interpret-mode tests fast (one skip-config test below
+# covers the skip layout)
+_SMALL_SDF = SDFConfig(d_hidden=64, n_layers=2, skip_in=(), multires=4)
 from color_neus_tpu.models import neus
 from color_neus_tpu.ops.pallas.hierarchy import (
     fused_hierarchy_z, resolve_hierarchy_mode)
@@ -22,7 +27,7 @@ def _rays(key, R, spread=0.3):
 
 def test_hierarchy_kernel_matches_xla(key):
     rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
-                          up_sample_steps=4)
+                          up_sample_steps=4, sdf=_SMALL_SDF)
     params = neus.init_renderer(key, rcfg)
     ro, rd, near, far = _rays(jax.random.fold_in(key, 1), R=6)
 
@@ -40,7 +45,7 @@ def test_hierarchy_kernel_matches_xla(key):
 def test_hierarchy_kernel_perturbed(key):
     """Same perturb draw (t_rand = uniform(key) - 0.5) as the XLA path."""
     rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
-                          up_sample_steps=4)
+                          up_sample_steps=4, sdf=_SMALL_SDF)
     params = neus.init_renderer(key, rcfg)
     ro, rd, near, far = _rays(jax.random.fold_in(key, 2), R=5)
     pk = jax.random.fold_in(key, 3)
@@ -57,7 +62,7 @@ def test_hierarchy_kernel_perturbed(key):
 def test_hierarchy_kernel_ray_padding(key):
     """R not a multiple of the ray tile."""
     rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
-                          up_sample_steps=2)
+                          up_sample_steps=2, sdf=_SMALL_SDF)
     params = neus.init_renderer(key, rcfg)
     ro, rd, near, far = _rays(jax.random.fold_in(key, 4), R=7)
     z_ref = neus.hierarchical_z_vals(params, rcfg, ro, rd, near, far,
@@ -72,11 +77,14 @@ def test_render_rays_train_with_fused_hierarchy(key):
     """Full training-loss render: fused hierarchy (interpret) vs the
     XLA sampling, both through the fused march (interpret)."""
     import dataclasses
+    from color_neus_tpu.models.configs import RelightConfig
     rcfg = RendererConfig(
         kind="color_neus", n_samples=16, n_importance=8, up_sample_steps=4,
         perturb=0.0, fused_march="interpret", fused_sdf="interpret",
-        fused_hierarchy="off",
-        color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0))
+        fused_hierarchy="off", sdf=_SMALL_SDF,
+        color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0,
+                          d_hidden=64, n_layers=2),
+        relight=RelightConfig(d_hidden=64, n_layers=4, y_in_layer=3))
     params = neus.init_renderer(key, rcfg)
     ro, rd, near, far = _rays(jax.random.fold_in(key, 5), R=6)
 
@@ -91,7 +99,7 @@ def test_render_rays_train_with_fused_hierarchy(key):
 
 def test_resolve_hierarchy_mode():
     rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
-                          up_sample_steps=4)
+                          up_sample_steps=4, sdf=_SMALL_SDF)
     import dataclasses
     assert resolve_hierarchy_mode(
         dataclasses.replace(rcfg, fused_hierarchy="off")) is False

@@ -126,7 +126,7 @@ def test_render_rays_with_interpret_kernel(key):
     from color_neus_tpu.ops.rays import near_far_from_sphere
 
     cfg = RendererConfig(
-        kind="neus", n_samples=16, n_importance=8, up_sample_steps=4,
+        kind="neus", n_samples=16, n_importance=8, up_sample_steps=2,
         fused_sdf="off",
         sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
         color=ColorConfig(mode="idr", d_in=9, d_feature=256, d_hidden=64, n_layers=2))

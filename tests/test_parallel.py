@@ -91,7 +91,7 @@ def test_sharded_fused_march_matches_single_device(march_acts):
     H = W = 16
     n_cams = 2
     rcfg = RendererConfig(
-        kind="color_neus", n_samples=16, n_importance=8, up_sample_steps=4,
+        kind="color_neus", n_samples=16, n_importance=8, up_sample_steps=2,
         perturb=0.0, fused_march="interpret", fused_sdf="interpret",
         sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
         color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256,

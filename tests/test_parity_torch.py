@@ -110,8 +110,12 @@ def test_render_parity(key, kind):
 @pytest.mark.parametrize("kind", ["neus", "color_neus"])
 def test_pixel_gradient_parity(key, kind):
     """d(mean color + eikonal)/d rays_o — exercises the second-order path
-    through the SDF spatial gradient in both frameworks."""
+    through the SDF spatial gradient in both frameworks. 2 up-sample
+    rounds (the 4-round render itself is covered by test_render_parity)
+    keep the CPU trace affordable."""
+    import dataclasses as _dc
     rcfg, params, t_sdf, t_col, t_rel, inv_s = _build(kind, key)
+    rcfg = _dc.replace(rcfg, up_sample_steps=2)
     o_np, d_np = _rays(4)
     rays_d = jnp.asarray(d_np, jnp.float32)
 

@@ -17,15 +17,17 @@ from color_neus_tpu.models.neus import (
 )
 
 
+# 2 up-sample rounds: the round loop is uniform, and 4-round parity is
+# covered by the torch/reference parity suites — halves the CPU traces
 TINY_NEUS = RendererConfig(
     kind="neus",
-    n_samples=16, n_importance=8, up_sample_steps=4,
+    n_samples=16, n_importance=8, up_sample_steps=2,
     sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
     color=ColorConfig(mode="idr", d_in=9, d_feature=256, d_hidden=64, n_layers=2),
 )
 TINY_COLOR = RendererConfig(
     kind="color_neus",
-    n_samples=16, n_importance=8, up_sample_steps=4,
+    n_samples=16, n_importance=8, up_sample_steps=2,
     sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
     color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256, d_hidden=64, n_layers=2,
                       multires_view=0),
@@ -173,7 +175,7 @@ def test_nerf_background_path(key):
     import dataclasses
     from color_neus_tpu.models.configs import NeRFConfig
     cfg = dataclasses.replace(
-        TINY_NEUS, n_outside=4,
+        TINY_NEUS, n_outside=4, n_importance=4,
         nerf=NeRFConfig(depth=2, width=32, multires=2, multires_view=2, skips=()))
     params = init_renderer(key, cfg)
     assert "nerf" in params

@@ -230,6 +230,8 @@ def test_renderer_and_model_registries():
     assert "NeuS_Trainer" in MODEL
     assert "DTU" in DATASET and "Synthetic" in DATASET
     h = build_renderer({"TYPE": "NeuS",
+                        "N_SAMPLES": 8, "N_IMPORTANCE": 4,
+                        "UP_SAMPLE_STEPS": 2,
                         "SDF": {"D_HIDDEN": 32, "N_LAYERS": 2, "SKIP_IN": [],
                                 "MULTIRES": 2},
                         "COLOR": {"MODE": "idr", "D_IN": 9, "D_HIDDEN": 32,

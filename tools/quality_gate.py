@@ -52,7 +52,16 @@ def main():
         data_root = None
 
     cfg = get_config("config/Color_NeuS_synthetic.yml", _A())
-    loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}",
+    fused = os.environ.get("QG_FUSED", "")  # '' = config default (auto)
+    if fused:
+        cfg = cfg.thaw_copy()
+        r = cfg["MODEL"]["RENDERER"]
+        for k in ("FUSED_MARCH", "FUSED_CORE", "FUSED_SDF",
+                  "FUSED_HIERARCHY"):
+            r[k] = fused if k != "FUSED_HIERARCHY" or fused == "off" \
+                else r.get(k, "auto")
+        cfg.freeze()
+    loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{fused or 'auto'}",
                      require_clean_git=False)
     loop.run()
 
@@ -86,6 +95,7 @@ def main():
     gate_err = 0.03 if steps >= 1000 else 0.06
     verdict = {
         "steps": steps, "resolution": res,
+        "fused": fused or "auto",
         "platform": jax.devices()[0].platform,
         "psnr": round(p, 2), "ssim": round(s, 4),
         "n_verts": int(len(verts)), "n_tris": int(len(tris)),
