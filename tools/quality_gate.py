@@ -15,9 +15,14 @@ and prints ONE JSON line with a pass/fail verdict.
     python tools/quality_gate.py
     QG_STEPS=200 QG_RES=64 QG_CPU=1 python tools/quality_gate.py   # smoke
 
-Thresholds (QG_STEPS>=1000): PSNR >= 30 dB (round-1 measured 41.2),
-radial error mean <= 0.01. Reference equivalent: the eyeballed
-validate_image / validate_mesh loop of NeuS_Trainer.py:216-307.
+Thresholds (QG_STEPS>=1000): PSNR >= 30 dB, radial error mean <= 0.03.
+Justified by the measured A/B at identical settings on the bench v5e
+(reports/quality_gate_ab.json): all-f32 XLA path 36.14 dB / 0.0206,
+fused bf16 kernels 35.61 dB / 0.0200, round-1 code 34.14 dB / 0.0197.
+(A round-1 ad-hoc figure of 41.2 dB was not reproducible under this
+protocol and is retired.) Set QG_FUSED=on/off to force the kernel path
+for A/B runs. Reference equivalent: the eyeballed validate_image /
+validate_mesh loop of NeuS_Trainer.py:216-307.
 """
 
 from __future__ import annotations
