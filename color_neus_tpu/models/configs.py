@@ -90,10 +90,6 @@ class RendererConfig:
     # fused ray-march training core (MLP + compositing + loss partials in
     # one kernel; loss path only): auto | on | off | interpret
     fused_march: str = "auto"
-    # fused hierarchical sampling (coarse z + all up-sample rounds +
-    # merges in one kernel; training loss path only): auto | on | off |
-    # interpret
-    fused_hierarchy: str = "auto"
     # point-tile size for the fused pipeline kernels
     fused_tile: int = 512
     # fused-march backward activation policy: auto | recompute | save
@@ -107,8 +103,6 @@ class RendererConfig:
     # HBM budget (GB) the march_acts='auto' policy allows the saved-
     # activation stash before falling back to the recompute backward
     march_stash_budget_gb: float = 10.0
-    # fused-hierarchy kernel ray-tile size (0 = auto: ~4096 points)
-    hier_tile: int = 0
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -153,12 +147,10 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_sdf=_lower_get(rcfg, "FUSED_SDF", "auto"),
         fused_core=_lower_get(rcfg, "FUSED_CORE", "auto"),
         fused_march=_lower_get(rcfg, "FUSED_MARCH", "auto"),
-        fused_hierarchy=_lower_get(rcfg, "FUSED_HIERARCHY", "auto"),
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         march_acts=_lower_get(rcfg, "MARCH_ACTS", "auto"),
         march_tile=_lower_get(rcfg, "MARCH_TILE", 0),
         march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 10.0),
-        hier_tile=_lower_get(rcfg, "HIER_TILE", 0),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -377,29 +377,20 @@ def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     from color_neus_tpu.ops.pallas.point_pipeline import resolve_dense
     from color_neus_tpu.ops.pallas.ray_march import fused_ray_march
     from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
-    from color_neus_tpu.ops.pallas.hierarchy import (
-        fused_hierarchy_z, resolve_hierarchy_mode)
 
-    hmode = resolve_hierarchy_mode(rcfg)
-    if hmode:
-        perturb = rcfg.perturb if perturb_overwrite < 0 else perturb_overwrite
-        t_rand = None
-        if perturb > 0:
-            assert key is not None, "perturbed sampling needs a PRNG key"
-            t_rand = jax.random.uniform(key, (rays_o.shape[0], 1),
-                                        dtype=rays_o.dtype) - 0.5
-        z_vals = fused_hierarchy_z(params["sdf"], rcfg, rays_o, rays_d,
-                                   near, far, t_rand=t_rand,
-                                   interpret=(hmode == "interpret"))
-    else:
-        sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf,
-                                            rcfg.fused_sdf)
-                       if rcfg.fused_sdf != "off" and rcfg.n_importance > 0
-                       else None)
-        z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
-                                     key=key,
-                                     perturb_overwrite=perturb_overwrite,
-                                     sdf_rays_fn=sdf_rays_fn)
+    # Hierarchy stays on the XLA path: with the fused sweeps + the
+    # lax.sort merge it is ~2% of step device time at the bench shape
+    # (reports/trace_r3_step_breakdown.json) — a fused-hierarchy kernel
+    # prototype measured 2.3x SLOWER than this (per-ray [T,S] one-hot
+    # masks are O(S^2) VPU work) and was removed.
+    sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf,
+                                        rcfg.fused_sdf)
+                   if rcfg.fused_sdf != "off" and rcfg.n_importance > 0
+                   else None)
+    z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
+                                 key=key,
+                                 perturb_overwrite=perturb_overwrite,
+                                 sdf_rays_fn=sdf_rays_fn)
     dense = resolve_dense(params, rcfg)
     inv_s = fields.variance_inv_s(params["variance"])
     S_total = z_vals.shape[1]

@@ -61,10 +61,8 @@ def main():
     if fused:
         cfg = cfg.thaw_copy()
         r = cfg["MODEL"]["RENDERER"]
-        for k in ("FUSED_MARCH", "FUSED_CORE", "FUSED_SDF",
-                  "FUSED_HIERARCHY"):
-            r[k] = fused if k != "FUSED_HIERARCHY" or fused == "off" \
-                else r.get(k, "auto")
+        for k in ("FUSED_MARCH", "FUSED_CORE", "FUSED_SDF"):
+            r[k] = fused
         cfg.freeze()
     loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{fused or 'auto'}",
                      require_clean_git=False)
