@@ -94,7 +94,7 @@ def main():
     # K steps per dispatch (lax.scan) amortizes tunnel launch latency;
     # timing uses an explicit host fetch — block_until_ready does not
     # truly sync on the tunneled platform.
-    k_steps = int(__import__("os").environ.get("BENCH_K_STEPS", 20))
+    k_steps = int(__import__("os").environ.get("BENCH_K_STEPS", 40))
     step_fn = TR.make_train_multi_step(cfg, n_cams, n_cams, k_steps, donate=True)
 
     base_key = jax.random.PRNGKey(1)

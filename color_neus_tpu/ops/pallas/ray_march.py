@@ -99,12 +99,22 @@ def _seg_matrix(Rt, T, S):
 
 
 def _seg_sum(seg, x):
-    """[Rt, T] @ [T, d] -> [Rt, d] (f32 — positional data, no bf16)."""
+    """[Rt, T] @ [T, d] -> [Rt, d] (f32 — positional data, no bf16).
+
+    Rt == 1 (the production tile: one ray per tile at S = 512) skips
+    the MXU dot — a [1, T] x [T, d] contraction is pure systolic
+    fill/drain — for a VPU sublane reduction (bit-comparable: same
+    pairwise f32 accumulation the MXU performs is replaced by XLA's
+    tree reduce; tests cover both)."""
+    if seg.shape[0] == 1:
+        return jnp.sum(x, axis=0, keepdims=True)
     return jnp.dot(seg, x, preferred_element_type=jnp.float32)
 
 
 def _seg_bcast(seg, y):
-    """[Rt, T]^T @ [Rt, d] -> [T, d]."""
+    """[Rt, T]^T @ [Rt, d] -> [T, d]; Rt == 1 is a plain broadcast."""
+    if seg.shape[0] == 1:
+        return jnp.broadcast_to(y, (seg.shape[1], y.shape[1]))
     return jax.lax.dot_general(seg, y, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 

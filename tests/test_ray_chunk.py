@@ -45,8 +45,11 @@ def test_chunked_matches_unchunked(key, kind):
     params = neus.init_renderer(key, cfg0)
     o, d, near, far = _rays(16)
 
-    out0 = neus.render_rays(params, cfg0, o, d, near, far, perturb_overwrite=0.0)
-    out4 = neus.render_rays(params, cfg4, o, d, near, far, perturb_overwrite=0.0)
+    # jit per config: eager CPU dispatch dominates this test's wall time
+    render = lambda cfg: jax.jit(lambda p: neus.render_rays(
+        p, cfg, o, d, near, far, perturb_overwrite=0.0))
+    out0 = render(cfg0)(params)
+    out4 = render(cfg4)(params)
     for k in ("color_fine", "weight_sum", "depth", "weights"):
         np.testing.assert_allclose(np.asarray(out0[k]), np.asarray(out4[k]),
                                    atol=1e-6, err_msg=k)
@@ -57,8 +60,8 @@ def test_chunked_matches_unchunked(key, kind):
         out = neus.render_rays(p, cfg, o, d, near, far, perturb_overwrite=0.0)
         return jnp.mean(out["color_fine"]) + out["gradient_error"]
 
-    g0 = jax.grad(lambda p: loss(p, cfg0))(params)
-    g4 = jax.grad(lambda p: loss(p, cfg4))(params)
+    g0 = jax.jit(jax.grad(lambda p: loss(p, cfg0)))(params)
+    g4 = jax.jit(jax.grad(lambda p: loss(p, cfg4)))(params)
     for l0, l4 in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g4)):
         np.testing.assert_allclose(np.asarray(l0), np.asarray(l4), atol=2e-5)
 
@@ -67,5 +70,6 @@ def test_chunk_not_dividing_falls_back(key):
     cfg = _cfg("neus", 5)  # 16 % 5 != 0 -> unchunked path
     params = neus.init_renderer(key, cfg)
     o, d, near, far = _rays(16)
-    out = neus.render_rays(params, cfg, o, d, near, far, perturb_overwrite=0.0)
+    out = jax.jit(lambda p: neus.render_rays(
+        p, cfg, o, d, near, far, perturb_overwrite=0.0))(params)
     assert out["color_fine"].shape == (16, 3)

@@ -82,7 +82,8 @@ def test_merge_z_sorted():
 def test_hierarchical_shapes_and_sorted(key):
     params = init_renderer(key, TINY_NEUS)
     o, d, near, far = _rays(3)
-    z = hierarchical_z_vals(params, TINY_NEUS, o, d, near, far, key=key)
+    z = jax.jit(lambda p: hierarchical_z_vals(
+        p, TINY_NEUS, o, d, near, far, key=key))(params)
     assert z.shape == (3, TINY_NEUS.n_samples + TINY_NEUS.n_importance)
     dz = np.diff(np.asarray(z), axis=-1)
     assert (dz >= -1e-6).all()
@@ -92,7 +93,8 @@ def test_hierarchical_shapes_and_sorted(key):
 def test_render_rays_outputs(key, cfg):
     params = init_renderer(key, cfg)
     o, d, near, far = _rays(4)
-    out = render_rays(params, cfg, o, d, near, far, key=key)
+    out = jax.jit(lambda p: render_rays(p, cfg, o, d, near, far,
+                                        key=key))(params)
     S = cfg.n_samples + cfg.n_importance
     assert out["color_fine"].shape == (4, 3)
     assert out["weight_sum"].shape == (4, 1)
@@ -120,7 +122,8 @@ def test_render_miss_ray_low_weight(key):
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     from color_neus_tpu.ops.rays import near_far_from_sphere
     near, far = near_far_from_sphere(o, d)
-    out = render_rays(params, TINY_NEUS, o, d, near, far, key=key)
+    out = jax.jit(lambda p: render_rays(p, TINY_NEUS, o, d, near, far,
+                                        key=key))(params)
     assert float(out["weight_sum"][0, 0]) < 0.05
 
 
@@ -146,8 +149,10 @@ def test_render_rays_jit_and_grad(key):
 def test_perturb_overwrite_deterministic(key):
     params = init_renderer(key, TINY_NEUS)
     o, d, near, far = _rays(2)
-    z1 = hierarchical_z_vals(params, TINY_NEUS, o, d, near, far, key=None, perturb_overwrite=0.0)
-    z2 = hierarchical_z_vals(params, TINY_NEUS, o, d, near, far, key=None, perturb_overwrite=0.0)
+    hz = jax.jit(lambda p: hierarchical_z_vals(
+        p, TINY_NEUS, o, d, near, far, key=None, perturb_overwrite=0.0))
+    z1 = hz(params)
+    z2 = hz(params)
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
 
 
@@ -157,14 +162,17 @@ def test_bf16_compute_mode(key):
     cfg16 = dataclasses.replace(TINY_COLOR, compute_dtype="bfloat16")
     params = init_renderer(key, TINY_COLOR)
     o, d, near, far = _rays(4)
-    out32 = render_rays(params, TINY_COLOR, o, d, near, far, perturb_overwrite=0.0)
-    out16 = render_rays(params, cfg16, o, d, near, far, perturb_overwrite=0.0)
+    out32 = jax.jit(lambda p: render_rays(
+        p, TINY_COLOR, o, d, near, far, perturb_overwrite=0.0))(params)
+    out16 = jax.jit(lambda p: render_rays(
+        p, cfg16, o, d, near, far, perturb_overwrite=0.0))(params)
     assert out16["color_fine"].dtype == jnp.float32  # f32 accumulation
     np.testing.assert_allclose(np.asarray(out16["color_fine"]),
                                np.asarray(out32["color_fine"]), atol=0.1)
     # gradients still flow
-    g = jax.grad(lambda p: float(0) + jnp.mean(
-        render_rays(p, cfg16, o, d, near, far, perturb_overwrite=0.0)["color_fine"]))(params)
+    g = jax.jit(jax.grad(lambda p: float(0) + jnp.mean(
+        render_rays(p, cfg16, o, d, near, far,
+                    perturb_overwrite=0.0)["color_fine"])))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
 
 
@@ -180,12 +188,13 @@ def test_nerf_background_path(key):
     params = init_renderer(key, cfg)
     assert "nerf" in params
     o, d, near, far = _rays(3)
-    out = render_rays(params, cfg, o, d, near, far, key=key,
-                      background_rgb=jnp.zeros((1, 3)))
+    out = jax.jit(lambda p: render_rays(
+        p, cfg, o, d, near, far, key=key,
+        background_rgb=jnp.zeros((1, 3))))(params)
     assert np.isfinite(np.asarray(out["color_fine"])).all()
     # depth uses the extended z (inside + outside samples)
     assert out["depth"].shape == (3,)
 
-    g = jax.grad(lambda p: float(0) + jnp.mean(
-        render_rays(p, cfg, o, d, near, far, key=key)["color_fine"]))(params)
+    g = jax.jit(jax.grad(lambda p: float(0) + jnp.mean(
+        render_rays(p, cfg, o, d, near, far, key=key)["color_fine"])))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))

@@ -85,7 +85,10 @@ def main():
     sinv = jnp.broadcast_to(jnp.asarray(64.0).reshape(1, 1), (1, 128))
     bm_e, bm_c, bm_r = pe_bases(rcfg)
     gbars = jax.random.normal(kr[3], (4, R, 16)) * 0.01
-    Rt = RM.default_tile_rays(S)
+    # ABL_TILE: kernel point-tile override (in points; default 512).
+    # CAUTION: oversized tiles can wedge the TPU worker for 10 min+.
+    abl_tile = int(os.environ.get("ABL_TILE", 0))
+    Rt = max(1, abl_tile // S) if abl_tile else RM.default_tile_rays(S)
     TS = (Rt * S, S)
     sample_dist = 2.0 / rcfg.n_samples
 
@@ -234,6 +237,19 @@ def main():
         try:
             res["bwd_pullback_only_ms"] = time_bwd()
             print("bwd_pullback_only_ms", res["bwd_pullback_only_ms"],
+                  flush=True)
+        finally:
+            RM._composite_fwd = real_composite
+
+    # ---- fwd_no_composite: forward kernel with the compositing chain
+    # (segmented cumprod scan + the [T,1] alpha/sigmoid chain) replaced
+    # by cheap slices — isolates the VPU cost of compositing inside the
+    # fwd kernel (the save-mode bwd never re-runs compositing).
+    if want("fwd_no_composite"):
+        RM._composite_fwd = cheap_composite
+        try:
+            res["fwd_no_composite_ms"] = time_fwd(True)
+            print("fwd_no_composite_ms", res["fwd_no_composite_ms"],
                   flush=True)
         finally:
             RM._composite_fwd = real_composite
