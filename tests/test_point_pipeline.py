@@ -70,9 +70,9 @@ def test_fused_fwd_matches_oracle(key, rcfg):
     n = 100
     pts, dirs = _pts_dirs(n)
 
-    ref = PP.point_pipeline_ref(dense, rcfg, pts, dirs)
-    got = PP.fused_point_pipeline_fwd(dense, rcfg, pts, dirs, tile=128,
-                                      interpret=True)
+    ref = jax.jit(lambda d: PP.point_pipeline_ref(d, rcfg, pts, dirs))(dense)
+    got = jax.jit(lambda d: PP.fused_point_pipeline_fwd(
+        d, rcfg, pts, dirs, tile=128, interpret=True))(dense)
     names = ["sdf", "grad", "gc", "relit", "delta"]
     for name, a, b in zip(names, got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
@@ -119,8 +119,8 @@ def test_fused_bwd_matches_oracle_grad(key, rcfg):
                                        interpret=True)
         return sum(jnp.sum(w * o) for w, o in zip(lw, outs))
 
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(dense, pts, dirs)
-    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(dense, pts, dirs)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(dense, pts, dirs)
+    g_fus = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(dense, pts, dirs)
 
     # bf16 activation storage in the bwd kernel: tolerances sized to it
     ref_leaves, ref_tree = jax.tree_util.tree_flatten(g_ref[0])

@@ -68,8 +68,8 @@ def test_march_fwd_matches_core(key, rcfg):
     params = neus.init_renderer(key, rcfg)
     R, S = 4, rcfg.n_samples + rcfg.n_importance
     ro, rd, z = _rays_z(R, S)
-    ref = _core_reduce(params, rcfg, ro, rd, z)
-    got = _march_reduce(params, rcfg, ro, rd, z)
+    ref = jax.jit(lambda p: _core_reduce(p, rcfg, ro, rd, z))(params)
+    got = jax.jit(lambda p: _march_reduce(p, rcfg, ro, rd, z))(params)
     for name, a, b in zip(("color", "wsum", "dsum", "ekn", "ekd"), got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
                                    err_msg=name)
@@ -81,8 +81,8 @@ def test_march_fwd_ray_padding(key):
     S = rcfg.n_samples + rcfg.n_importance
     for R in (1, 3, 5):
         ro, rd, z = _rays_z(R, S, seed=R)
-        ref = _core_reduce(params, rcfg, ro, rd, z)
-        got = _march_reduce(params, rcfg, ro, rd, z)
+        ref = jax.jit(lambda p: _core_reduce(p, rcfg, ro, rd, z))(params)
+        got = jax.jit(lambda p: _march_reduce(p, rcfg, ro, rd, z))(params)
         for a, b in zip(got, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
@@ -111,9 +111,10 @@ def test_march_bwd_matches_core_grad(key, rcfg):
     def loss_march(params, ro, rd):
         return scalar(_march_reduce(params, rcfg, ro, rd, z))
 
-    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+    # jit: eager interpret-mode dispatch dominates wall time otherwise
+    v_ref, g_ref = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1, 2)))(
         params, ro, rd)
-    v_m, g_m = jax.value_and_grad(loss_march, argnums=(0, 1, 2))(
+    v_m, g_m = jax.jit(jax.value_and_grad(loss_march, argnums=(0, 1, 2)))(
         params, ro, rd)
     np.testing.assert_allclose(float(v_m), float(v_ref), rtol=2e-5)
 
@@ -152,10 +153,10 @@ def test_march_save_acts_matches_recompute(key, rcfg):
                               tile_rays=2, interpret=True, save_acts=save)
         return jnp.sum(lw * o16)
 
-    v_r, g_r = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-        params, ro, rd, False)
-    v_s, g_s = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-        params, ro, rd, True)
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)),
+                 static_argnums=(3,))
+    v_r, g_r = vg(params, ro, rd, False)
+    v_s, g_s = vg(params, ro, rd, True)
     np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-6)
     flat_r = jax.tree_util.tree_leaves_with_path(g_r)
     flat_s = jax.tree_util.tree_leaves(g_s)
