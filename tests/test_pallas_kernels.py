@@ -89,8 +89,13 @@ def test_hierarchical_z_with_rays_sweep(key):
     from color_neus_tpu.models.configs import RendererConfig
     from color_neus_tpu.models import neus
     from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
+    from color_neus_tpu.models.configs import SDFConfig
+    # small skip MLP: the sweep-vs-XLA equality is independent of width,
+    # and the skip layout is the only structural case worth covering
     rcfg = RendererConfig(kind="neus", n_samples=16, n_importance=8,
-                          up_sample_steps=4)
+                          up_sample_steps=2,
+                          sdf=SDFConfig(d_hidden=64, n_layers=4,
+                                        skip_in=(2,), multires=4))
     params = neus.init_renderer(key, rcfg)
     k1, k2 = jax.random.split(jax.random.fold_in(key, 7))
     R = 6
@@ -99,12 +104,15 @@ def test_hierarchical_z_with_rays_sweep(key):
     rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
     near = jnp.full((R,), 0.5)
     far = jnp.full((R,), 2.5)
-    z_ref = neus.hierarchical_z_vals(params, rcfg, ro, rd, near, far,
-                                     key=None, perturb_overwrite=0.0)
-    fn = resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, "interpret")
-    z_new = neus.hierarchical_z_vals(params, rcfg, ro, rd, near, far,
-                                     key=None, perturb_overwrite=0.0,
-                                     sdf_rays_fn=fn)
+    z_ref = jax.jit(lambda p: neus.hierarchical_z_vals(
+        p, rcfg, ro, rd, near, far, key=None, perturb_overwrite=0.0))(params)
+
+    def z_sweep(p):
+        fn = resolve_sdf_sweep_fn(p["sdf"], rcfg.sdf, "interpret")
+        return neus.hierarchical_z_vals(p, rcfg, ro, rd, near, far, key=None,
+                                        perturb_overwrite=0.0, sdf_rays_fn=fn)
+
+    z_new = jax.jit(z_sweep)(params)
     np.testing.assert_allclose(np.asarray(z_new), np.asarray(z_ref), atol=1e-5)
 
 
@@ -135,11 +143,16 @@ def test_render_rays_with_interpret_kernel(key):
     d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (3, 1))
     near, far = near_far_from_sphere(o, d)
 
-    out_plain = neus.render_rays(params, cfg, o, d, near, far,
-                                 perturb_overwrite=0.0)
-    fused_fn = make_fused_sdf_fn(params["sdf"], cfg.sdf, tile=256, interpret=True)
-    out_fused = neus.render_rays(params, cfg, o, d, near, far,
-                                 perturb_overwrite=0.0, sdf_fn=fused_fn)
+    out_plain = jax.jit(lambda p: neus.render_rays(
+        p, cfg, o, d, near, far, perturb_overwrite=0.0))(params)
+
+    def render_fused(p):
+        fused_fn = make_fused_sdf_fn(p["sdf"], cfg.sdf, tile=256,
+                                     interpret=True)
+        return neus.render_rays(p, cfg, o, d, near, far,
+                                perturb_overwrite=0.0, sdf_fn=fused_fn)
+
+    out_fused = jax.jit(render_fused)(params)
     np.testing.assert_allclose(np.asarray(out_plain["color_fine"]),
                                np.asarray(out_fused["color_fine"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_plain["depth"]),

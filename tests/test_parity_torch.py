@@ -107,7 +107,10 @@ def test_render_parity(key, kind):
                                    out_t["delta_relight"].detach().numpy(), atol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["neus", "color_neus"])
+# color_neus only: its pixel-gradient graph is a strict superset of
+# neus's (adds the relight head on top of the same second-order SDF
+# path), and the neus forward is covered by test_render_parity
+@pytest.mark.parametrize("kind", ["color_neus"])
 def test_pixel_gradient_parity(key, kind):
     """d(mean color + eikonal)/d rays_o — exercises the second-order path
     through the SDF spatial gradient in both frameworks. 2 up-sample

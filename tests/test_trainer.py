@@ -11,9 +11,11 @@ from color_neus_tpu.models import trainer as TR
 from color_neus_tpu.ops.transforms import pose_spherical
 
 
+# 2 up-sample rounds: the round loop is uniform and 4-round parity is
+# covered by the torch/reference parity suites — halves the CPU traces
 TINY_RCFG = RendererConfig(
     kind="color_neus",
-    n_samples=16, n_importance=8, up_sample_steps=4,
+    n_samples=16, n_importance=8, up_sample_steps=2,
     sdf=SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4),
     color=ColorConfig(mode="no_view_dir", d_in=6, d_feature=256, d_hidden=64, n_layers=2,
                       multires_view=0),

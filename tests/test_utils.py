@@ -239,8 +239,8 @@ def test_renderer_and_model_registries():
     params = h.init(jax.random.PRNGKey(0))
     import jax.numpy as _j
     o = _j.asarray([[0.0, 0.0, -2.5]]); d = _j.asarray([[0.0, 0.0, 1.0]])
-    out = h(params, o, d, _j.asarray([1.5]), _j.asarray([3.5]),
-            perturb_overwrite=0.0)
+    out = jax.jit(lambda p: h(p, o, d, _j.asarray([1.5]), _j.asarray([3.5]),
+                              perturb_overwrite=0.0))(params)
     assert out["color_fine"].shape == (1, 3)
 
 
