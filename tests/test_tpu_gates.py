@@ -57,6 +57,14 @@ def test_native_kernel_shard_map_on_chip(acts):
     assert rep["pass"], rep
 
 
+def test_eval_fused_paths_match_xla():
+    """extract_vertex_colors (fused point pipeline, both color modes)
+    and evaluate_sdf_grid (fused f32 SDF kernel) vs their XLA paths on
+    the chip — the CPU suite never executes the TPU-only branches."""
+    rep = _run_tool("tpu_eval_fused_check.py", {}, timeout=2400)
+    assert rep["pass"], rep
+
+
 def test_quality_gate_short():
     rep = _run_tool("quality_gate.py",
                     {"QG_STEPS": "200", "QG_RES": "64"}, timeout=3600)
