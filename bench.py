@@ -54,10 +54,13 @@ def main():
     ray_chunk = int(__import__("os").environ.get("BENCH_RAY_CHUNK", 0))
     march_acts = __import__("os").environ.get("BENCH_MARCH_ACTS", "save")
     march_tile = int(__import__("os").environ.get("BENCH_MARCH_TILE", 0))
+    sweep_act = __import__("os").environ.get("BENCH_SWEEP_ACT", "softplus")
+    bwd_prec = __import__("os").environ.get("BENCH_BWD_PREC", "bf16")
     rcfg = RendererConfig(
         kind="color_neus",
         n_samples=256, n_importance=256, up_sample_steps=4,
         ray_chunk=ray_chunk, march_acts=march_acts, march_tile=march_tile,
+        sweep_activation=sweep_act, march_bwd_precision=bwd_prec,
         color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
     )
     H = W = 256

@@ -103,6 +103,25 @@ class RendererConfig:
     # HBM budget (GB) the march_acts='auto' policy allows the saved-
     # activation stash before falling back to the recompute backward
     march_stash_budget_gb: float = 10.0
+    # precision of the SDF chain inside the fused kernels (the bf16
+    # rounding budget of the second-order eikonal path — the worst
+    # grad-audit leaf lives here, reports/grad_audit.json):
+    #   bf16     - production default: bf16 stores + bf16 MXU dots
+    #   f32stash - f32 activation stores (Xs/Us/Zs + exported SX stash,
+    #              exact softplus gates); dots stay bf16
+    #   f32      - additionally f32 SDF weights and f32 dots through the
+    #              whole SDF value/gradient/second-order chain
+    # color/relight chains stay bf16 in all modes (grad err < 0.4%).
+    march_bwd_precision: str = "bf16"
+    # dtype of the no-grad SDF sweep dots that PLACE importance samples
+    # (hierarchical_z_vals): bfloat16 (fast, default) or float32
+    sweep_dtype: str = "bfloat16"
+    # activation of the no-grad placement sweeps: 'softplus' (exact
+    # reference semantics) or 'relu' (softplus100 and relu differ by
+    # <= ln2/100 per unit; samples shift O(1e-3) but the render core
+    # still evaluates exact softplus at the chosen z — the sweeps'
+    # VPU softplus chain is their measured bottleneck)
+    sweep_activation: str = "softplus"
     # render-core ray chunking with rematerialization: activation memory is
     # O(ray_chunk * n_total_samples * width) instead of O(n_rays * ...);
     # 0 disables. Essential for large ray batches / deep sample counts.
@@ -151,6 +170,9 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         march_acts=_lower_get(rcfg, "MARCH_ACTS", "auto"),
         march_tile=_lower_get(rcfg, "MARCH_TILE", 0),
         march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 10.0),
+        march_bwd_precision=_lower_get(rcfg, "MARCH_BWD_PRECISION", "bf16"),
+        sweep_dtype=_lower_get(rcfg, "SWEEP_DTYPE", "bfloat16"),
+        sweep_activation=_lower_get(rcfg, "SWEEP_ACTIVATION", "softplus"),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),
         sdf=SDFConfig(
             d_in=_lower_get(sdf, "D_IN", 3),

@@ -140,7 +140,13 @@ def merge_z_vals(z_vals, new_z, sdf, new_sdf):
     output is monotone), so instead of a generic sort (NeuS.py:183-197
     uses torch.sort) we compute merge ranks with one counting compare —
     a [R, n, m] reduce on the VPU — and scatter. Ties keep old-before-new
-    order, matching a stable sort of concat([z, new_z])."""
+    order, matching a stable sort of concat([z, new_z]).
+
+    NOT on the hot path: the stable-sort merge (merge_z_vals_sort) won
+    the on-chip bench and is what hierarchical_z_vals uses. This
+    counting formulation is kept as the independently-derived oracle
+    the two-implementation equality/bench check exercises
+    (tools/merge_bench.py asserts bitwise-equal outputs)."""
     R, n = z_vals.shape
     m = new_z.shape[1]
     # rank of each old z in the merged list: own index + #(new < it)
@@ -384,7 +390,9 @@ def _fused_out16(params, rcfg: RendererConfig, rays_o, rays_d, near, far,
     # prototype measured 2.3x SLOWER than this (per-ray [T,S] one-hot
     # masks are O(S^2) VPU work) and was removed.
     sdf_rays_fn = (resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf,
-                                        rcfg.fused_sdf)
+                                        rcfg.fused_sdf,
+                                        dtype=rcfg.sweep_dtype,
+                                        act=rcfg.sweep_activation)
                    if rcfg.fused_sdf != "off" and rcfg.n_importance > 0
                    else None)
     z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
@@ -498,7 +506,10 @@ def _render_rays_inner(params, rcfg, rays_o, rays_d, near, far, key,
     sdf_rays_fn = None
     if sdf_fn is None and rcfg.fused_sdf != "off" and rcfg.n_importance > 0:
         from color_neus_tpu.ops.pallas.sdf_mlp import resolve_sdf_sweep_fn
-        sdf_rays_fn = resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf, rcfg.fused_sdf)
+        sdf_rays_fn = resolve_sdf_sweep_fn(params["sdf"], rcfg.sdf,
+                                           rcfg.fused_sdf,
+                                           dtype=rcfg.sweep_dtype,
+                                           act=rcfg.sweep_activation)
     z_vals = hierarchical_z_vals(params, rcfg, rays_o, rays_d, near, far,
                                  key=key, perturb_overwrite=perturb_overwrite,
                                  sdf_fn=sdf_fn, sdf_rays_fn=sdf_rays_fn)

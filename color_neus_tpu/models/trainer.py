@@ -42,11 +42,12 @@ class TrainerConfig:
     opengl: bool = False
     include_mask: bool = True
     mask_rate: tuple = (0.5, 0.8)
-    # masked pixel sampling: 'bernoulli' (default — each ray lands
-    # in-mask with prob mask_rate, with replacement) or 'exact' (strict
-    # reference parity: exactly int(rate * n_rays) in-mask rays, drawn
-    # without replacement — ray_utils.py:61-76 semantics)
-    mask_sample_mode: str = "bernoulli"
+    # masked pixel sampling: 'exact' (default — strict reference
+    # parity: exactly int(rate * n_rays) in-mask rays, drawn without
+    # replacement, ray_utils.py:61-76 semantics; jittable Gumbel-top-k)
+    # or 'bernoulli' (each ray lands in-mask with prob mask_rate, with
+    # replacement — same distribution in expectation, cheaper per step)
+    mask_sample_mode: str = "exact"
     # replicate the maskless-path quirk (rays only from image 0) when asked
     first_image_only_quirk: bool = False
 
@@ -91,7 +92,7 @@ def trainer_config_from_cfg(cfg: dict, H: int, W: int, n_cams: int) -> TrainerCo
         opengl=dp.get("OPENGL_SYS", False),
         include_mask=include_mask,
         mask_rate=tuple(m.get("MASK_RATE", (0.5, 0.8))) if include_mask else None,
-        mask_sample_mode=dp.get("MASK_SAMPLE_MODE", "bernoulli"),
+        mask_sample_mode=dp.get("MASK_SAMPLE_MODE", "exact"),
         # replicate the reference's maskless-path quirk on request
         # (rays only from image 0, SURVEY §3.6 / ray_utils.py:57-59)
         first_image_only_quirk=dp.get("FIRST_IMAGE_ONLY_QUIRK", False),

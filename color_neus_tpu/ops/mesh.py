@@ -61,7 +61,10 @@ def evaluate_sdf_grid(params, rcfg: RendererConfig, bound_min, bound_max,
                 params["sdf"], rcfg.sdf, p)[:, 0]
 
     n = res ** 3
-    K = super_chunks
+    # don't over-dispatch small grids: the clamped tail would evaluate
+    # up to super_chunks*chunk points for n << that (e.g. the res-64
+    # quality-gate smoke is 262k points = exactly one chunk)
+    K = min(super_chunks, (n + chunk - 1) // chunk)
     stride = K * chunk
     n_pad = (n + stride - 1) // stride * stride
 
@@ -107,26 +110,25 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     first fused pass supplies grad so dirs = -grad feed the second —
     still far cheaper than the per-op XLA chain.
     """
-    def use_fused():
-        if rcfg.fused_core == "off":
-            return False
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            return False
+    from color_neus_tpu.models.neus import _use_fused_core
 
-    if use_fused():
+    if _use_fused_core(rcfg):
         from color_neus_tpu.ops.pallas.point_pipeline import (
             resolve_dense, fused_point_pipeline)
         dense = resolve_dense(params, rcfg)
+        # same resolver semantics as the training path: 'interpret'
+        # runs the kernel in interpret mode instead of silently
+        # compiling it (ADVICE r3)
+        interp = rcfg.fused_core == "interpret"
 
         def chunk_fn(pts):
             dirs = jnp.zeros_like(pts)
             if rcfg.color.mode != "no_view_dir":
-                _, grad, _, _, _ = fused_point_pipeline(dense, rcfg, pts,
-                                                        dirs)
+                _, grad, _, _, _ = fused_point_pipeline(
+                    dense, rcfg, pts, dirs, interpret=interp)
                 dirs = -grad
-            _, _, gc, _, _ = fused_point_pipeline(dense, rcfg, pts, dirs)
+            _, _, gc, _, _ = fused_point_pipeline(
+                dense, rcfg, pts, dirs, interpret=interp)
             return gc
     else:
         def chunk_fn(pts):

@@ -201,9 +201,37 @@ class PMeta:
     n_relight: int
     y_in: int
     feat_dim: int
+    # SDF-chain precision: 'bf16' | 'f32stash' | 'f32'
+    # (RendererConfig.march_bwd_precision; see _sdf_bf/_sdf_store)
+    sdf_prec: str = "bf16"
 
     def __getitem__(self, k):  # dict-style access used by the kernels
         return getattr(self, k)
+
+
+def _sdf_bf(meta, bf16: bool) -> bool:
+    """Dot dtype for the SDF chain: bf16 unless sdf_prec == 'f32'."""
+    return bf16 and meta["sdf_prec"] != "f32"
+
+
+def _sdf_store(meta, bf16: bool):
+    """Store dtype for SDF-chain activations (Xs/Us/Zs + the SX stash):
+    f32 for 'f32stash'/'f32' (exact reconstructed softplus gates)."""
+    if not bf16 or meta["sdf_prec"] != "bf16":
+        return jnp.float32
+    return _BWD_STORE[0]
+
+
+def cast_kernel_weights(meta, ws, interpret: bool):
+    """Weights as kernel inputs: bf16 (halves the resident VMEM
+    footprint; the dots cast to bf16 anyway) — except the SDF layers,
+    which stay f32 when sdf_prec == 'f32' so the f32 SDF dots see
+    unrounded weights."""
+    if interpret:
+        return tuple(ws)
+    keep = meta["n_sdf"] if meta["sdf_prec"] == "f32" else 0
+    return tuple(w if i < keep else w.astype(jnp.bfloat16)
+                 for i, w in enumerate(ws))
 
 
 def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
@@ -224,7 +252,8 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
             "n_sdf": sdf.n_layers + 1, "n_color": color.n_layers + 1,
             "n_relight": (rcfg.relight.n_layers + 1) if rcfg.kind == "color_neus" else 0,
             "y_in": rcfg.relight.y_in_layer,
-            "feat_dim": sdf.d_out - 1}
+            "feat_dim": sdf.d_out - 1,
+            "sdf_prec": rcfg.march_bwd_precision}
 
     # ---- sdf ----
     prev_p = d0p
@@ -416,6 +445,7 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
     (ops/pallas/ray_march.py)."""
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta["scale"]
+    sbf = _sdf_bf(meta, bf16)
 
     emb, phase_e = _encode(pin, bm_e_ref[:])           # [T, d0p]
     dirs_c, _ = _encode(pin, bm_c_ref[:])              # [T, 128]
@@ -435,7 +465,7 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
         if kind == "sdf_skip":
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
         w = w_refs[li][:]
-        a = _kdot(h, w, bf16) + b_refs[li][:]
+        a = _kdot(h, w, sbf) + b_refs[li][:]
         if l < meta["n_sdf"] - 1:
             h, g = _softplus100_and_gate(a)
             gates.append(g)
@@ -454,7 +484,7 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
             p = jnp.broadcast_to(wt_refs[l][:][0:1, :], (T, in_p))
         else:
             q = p * gates[l]
-            p = _kdot(q, wt_refs[l][:], bf16)          # [T, in_p]
+            p = _kdot(q, wt_refs[l][:], sbf)           # [T, in_p]
         if kind == "sdf_skip":
             emb_g = emb_g + p[:, in_p - meta["d0p"]:] * inv_sqrt2
             p = p[:, :in_p - meta["d0p"]] * inv_sqrt2
@@ -660,8 +690,12 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
     featd = meta.feat_dim
     # activation-storage dtype (upcast on use); f32 when the dots are
     # f32 (interpret/oracle mode) so interpret is bit-faithful — the
-    # production bf16-store error is quantified by tools/grad_audit.py
+    # production bf16-store error is quantified by tools/grad_audit.py.
+    # The SDF chain gets its own (possibly f32) store + dot dtype: the
+    # march_bwd_precision knob (reports/grad_audit.json worst leaf).
     store = _BWD_STORE[0] if bf16 else jnp.float32
+    sstore = _sdf_store(meta, bf16)
+    sbf = _sdf_bf(meta, bf16)
     L = meta.n_sdf
 
     bm_e = bm_e_ref[:]
@@ -687,8 +721,8 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
         # layer 0's input (the PE embedding) stays f32: it is rebuilt
         # in-kernel (never exported to HBM — _stash_stored_widths) and
         # feeds the f32 layer-0 weight-grad dot (grad-audit fix)
-        Xs.append(h if l == 0 else h.astype(store))
-        a = _kdot(h, w_refs[l][:], bf16) + b_refs[l][:]
+        Xs.append(h if l == 0 else h.astype(sstore))
+        a = _kdot(h, w_refs[l][:], sbf) + b_refs[l][:]
         if l < L - 1:
             h, g = _softplus100_and_gate(a)
             Gs.append(g)
@@ -705,7 +739,7 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
         if l == L - 1:
             p = jnp.broadcast_to(wt_refs[l][:][0:1, :], (T, in_p))
         else:
-            p = _kdot(p * Gs[l], wt_refs[l][:], bf16)
+            p = _kdot(p * Gs[l], wt_refs[l][:], sbf)
         if kind == "sdf_skip":
             emb_g = emb_g + p[:, in_p - meta.d0p:] * inv_sqrt2
             p = p[:, :in_p - meta.d0p] * inv_sqrt2
@@ -877,7 +911,8 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
     production gradients are unchanged (bf16(f32 x) == stored bf16 x)
     and the interpret/oracle path stays exact."""
     T = pin.shape[0]
-    store = SX.dtype
+    store = SX.dtype       # sdf-chain store (f32 under f32stash/f32)
+    crstore = SCR.dtype    # color/relight store (always _BWD_STORE)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     outs = (SG[:, 0:1], SG[:, 1:4], SG[:, 4:7], SG[:, 7:10], SG[:, 10:13])
     grad_sg = SG[:, 1:4]
@@ -911,7 +946,8 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         o += cs[l]
         if l == 0:
             Cs.append(jnp.concatenate(
-                [small.astype(store), dirs_c.astype(store), kept], axis=1))
+                [small.astype(crstore), dirs_c.astype(crstore), kept],
+                axis=1))
         else:
             Cs.append(kept)
     Rs = []
@@ -921,12 +957,12 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         o += rs[l]
         if kind == "relight_first":
             Rs.append(jnp.concatenate(
-                [small, dirs_r], axis=1).astype(store))
+                [small, dirs_r], axis=1).astype(crstore))
         elif kind == "relight_yin":
             gc_block = jnp.concatenate(
                 [gc_sg, jnp.zeros((T, 125), jnp.float32)], axis=1)
             Rs.append(jnp.concatenate(
-                [gc_block.astype(store), kept], axis=1))
+                [gc_block.astype(crstore), kept], axis=1))
         else:
             Rs.append(kept)
     # gate reconstruction: layer l's gate from layer l+1's stored input
@@ -955,6 +991,8 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     inv_scale = 1.0 / meta.scale
     featd = meta.feat_dim
     store = _BWD_STORE[0] if bf16 else jnp.float32
+    sstore = _sdf_store(meta, bf16)
+    sbf = _sdf_bf(meta, bf16)
     L = meta.n_sdf
     sdf_out_p = meta.layers[L - 1][2]
     bm_e = bm_e_ref[:]
@@ -1060,9 +1098,9 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         kind, in_p, out_p, out_real = meta.layers[l]
         if kind == "sdf_skip":
             v = jnp.concatenate([v, v0], axis=1) * inv_sqrt2
-        Us.append(v if l == 0 else v.astype(store))
-        z = _kdot(v, w_refs[l][:], bf16)
-        Zs.append(z.astype(store))
+        Us.append(v if l == 0 else v.astype(sstore))
+        z = _kdot(v, w_refs[l][:], sbf)
+        Zs.append(z.astype(sstore))
         v = Gs[l] * z
     kindL, in_pL, out_pL, _ = meta.layers[L - 1]
     uL = (jnp.concatenate([v, v0], axis=1) * inv_sqrt2
@@ -1078,10 +1116,10 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     wtL = wt_refs[L - 1][:]
     col0 = (jax.lax.broadcasted_iota(jnp.int32, (in_pL, out_pL), 1)
             == 0).astype(jnp.float32)
-    w_hat_refs[L - 1][:] += _kdot_b(Xs[L - 1], ybar, bf16) \
+    w_hat_refs[L - 1][:] += _kdot_b(Xs[L - 1], ybar, sbf) \
         + col0 * (inv_scale * jnp.sum(uL, axis=0))[:, None]
     b_hat_refs[L - 1][:] += jnp.sum(ybar, axis=0, keepdims=True)
-    hbar = _kdot(ybar, wtL, bf16)                       # cot of x_{L-1}
+    hbar = _kdot(ybar, wtL, sbf)                        # cot of x_{L-1}
     ubar = jnp.broadcast_to(wtL[0:1, :], (T, in_pL)) * inv_scale
     if kindL == "sdf_skip":
         h_p = in_pL - meta.d0p
@@ -1102,13 +1140,14 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         # rows are the PE embedding (rebuilt in-kernel, kept f32), whose
         # bf16 rounding was the dominant term of the sdf/lin0 gradient
         # error (grad audit: 9.46% norm-rel-err). One [d0p, 256] f32
-        # dot per tile — negligible cost; every other layer stays bf16.
-        bfl = bf16 and l > 0
+        # dot per tile — negligible cost; every other layer stays bf16
+        # (or f32 under the march_bwd_precision='f32' knob).
+        bfl = sbf and l > 0
         w_hat_refs[l][:] += _kdot_b(Xs[l], abar, bfl) \
             + _kdot_b(Us[l], zbar, bfl)
         b_hat_refs[l][:] += jnp.sum(abar, axis=0, keepdims=True)
-        hbar = _kdot(abar, wt_refs[l][:], bf16)
-        ubar = _kdot(zbar, wt_refs[l][:], bf16)
+        hbar = _kdot(abar, wt_refs[l][:], sbf)
+        ubar = _kdot(zbar, wt_refs[l][:], sbf)
         if kind == "sdf_skip":
             h_p = in_p - meta.d0p
             emb_hat = emb_hat + hbar[:, h_p:] * inv_sqrt2
@@ -1154,11 +1193,11 @@ def _pallas_fwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r):
         pl.BlockSpec(bm_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(bm_r.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
-    # halves the resident weight footprint (~3 MB of scoped VMEM).
+    # weights as bf16 kernel inputs (sdf layers stay f32 under the
+    # march_bwd_precision='f32' knob — cast_kernel_weights).
     # wts = pre-transposed sdf weights for the reverse grad sweep (the
     # transpose happens ONCE per step in XLA, not per tile in the kernel)
-    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_in = cast_kernel_weights(meta, ws, interpret)
     wts_in = tuple(w.T for w in ws_in[:meta.n_sdf])
     for w in ws_in:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
@@ -1193,11 +1232,11 @@ def _pallas_bwd_call(meta, T, interpret, ws, bs, pin, bm_e, bm_c, bm_r,
         pl.BlockSpec(bm_r.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((T, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    # weights as bf16 kernel inputs: the dots cast to bf16 anyway and it
-    # halves the resident weight footprint (grad accumulators stay f32).
+    # weights as bf16 kernel inputs (sdf layers stay f32 under the
+    # march_bwd_precision='f32' knob; grad accumulators stay f32).
     # wts = ALL weights pre-transposed (once per step in XLA) for the
     # x_bar pullback dots
-    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_in = cast_kernel_weights(meta, ws, interpret)
     wts_in = tuple(w.T for w in ws_in)
     for w in ws_in:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))

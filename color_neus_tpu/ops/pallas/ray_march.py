@@ -46,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from color_neus_tpu.models.configs import RendererConfig
 from color_neus_tpu.ops.pallas.point_pipeline import (
     _BWD_STORE, _mlp_forward, _mlp_recompute, _mlp_pullback,
-    pack_pipeline_weights, pe_bases, _rup,
-    flatten_stash, unflatten_stash, stash_lane_widths,
+    pack_pipeline_weights, pe_bases, _rup, cast_kernel_weights,
+    _sdf_store, flatten_stash, unflatten_stash, stash_lane_widths,
 )
 
 
@@ -373,7 +373,7 @@ def _march_fwd_call(meta, TS, interpret, sample_dist, ws, bs,
     Rt = T // S
     n_pad = z_pt.shape[0]
     grid = (n_pad // T,)
-    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_in = cast_kernel_weights(meta, ws, interpret)
     wts_in = tuple(w.T for w in ws_in[:meta.n_sdf])
     G = n_pad // T
     # per-ray arrays carry a leading grid dim so their (1, Rt, d) blocks
@@ -392,8 +392,9 @@ def _march_fwd_call(meta, TS, interpret, sample_dist, ws, bs,
     out_shape = [jax.ShapeDtypeStruct((G, Rt, 16), jnp.float32)]
     if save:
         store = jnp.float32 if interpret else _BWD_STORE[0]
+        sx_store = _sdf_store(meta, not interpret)
         DX, DCR, DG = stash_lane_widths(meta)
-        for D, dt in ((DX, store), (DCR, store), (DG, jnp.float32)):
+        for D, dt in ((DX, sx_store), (DCR, store), (DG, jnp.float32)):
             out_specs.append(pl.BlockSpec((T, D), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((n_pad, D), dt))
@@ -423,7 +424,7 @@ def _march_bwd_call(meta, TS, interpret, sample_dist, ws, bs,
     n_pad = z_pt.shape[0]
     grid = (n_pad // T,)
     load = stashes is not None
-    ws_in = ws if interpret else tuple(w.astype(jnp.bfloat16) for w in ws)
+    ws_in = cast_kernel_weights(meta, ws, interpret)
     wts_in = tuple(w.T for w in ws_in)
     G = n_pad // T
     rays3 = rays.reshape(G, Rt, 8)
@@ -566,7 +567,8 @@ def march_stash_bytes(meta, n_pts: int) -> int:
     """HBM bytes the save-acts backward stash occupies for n_pts points."""
     DX, DCR, DG = stash_lane_widths(meta)
     store = jnp.dtype(_BWD_STORE[0]).itemsize
-    return n_pts * ((DX + DCR) * store + DG * 4)
+    sx_store = jnp.dtype(_sdf_store(meta, True)).itemsize
+    return n_pts * (DX * sx_store + DCR * store + DG * 4)
 
 
 def resolve_save_acts(policy, meta, n_pts: int,

@@ -111,12 +111,22 @@ def _softplus100(x):
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
-def _sdf_layers(meta, n_lin, ws, bs, emb):
+def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
     """The padded weight-norm-resolved SDF MLP on an embedded tile.
 
     Dot precision follows the weight dtype (currently f32 everywhere:
     a bf16 variant was measured at parity — the sweeps are not
-    matmul-throughput-bound — so f32 exactness is kept)."""
+    matmul-throughput-bound — so f32 exactness is kept).
+
+    act='relu' swaps the beta=100 softplus for relu — for SAMPLE
+    PLACEMENT sweeps only (hierarchical_z_vals): softplus100 and relu
+    differ by <= ln2/100 per activation, sample positions shift by
+    O(1e-3) and the render core still evaluates exact softplus at the
+    chosen z. The softplus exp/log1p chain is the VPU bottleneck of the
+    sweeps (ROADMAP lever #1); relu lifts them toward the MXU roofline.
+    Works on plain arrays too (ws[l][:] is the identity outside pallas
+    — make_xla_sdf_rays_fn reuses this exact function for the paired
+    XLA path)."""
     h = emb
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for l in range(n_lin):
@@ -128,7 +138,7 @@ def _sdf_layers(meta, n_lin, ws, bs, emb):
         h = (jnp.dot(h.astype(w.dtype), w,
                      preferred_element_type=jnp.float32) + bs[l][:])
         if l < n_lin - 1:
-            h = _softplus100(h)
+            h = jnp.maximum(h, 0.0) if act == "relu" else _softplus100(h)
     return h
 
 
@@ -148,7 +158,8 @@ def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
     out_ref[:] = h[:, 0:8]                    # [T, 8], col 0 = raw sdf
 
 
-def _sdf_rays_kernel(meta, n_lin, S, rays_ref, z_ref, bm_ref, bmd_ref, *refs):
+def _sdf_rays_kernel(meta, n_lin, S, act, rays_ref, z_ref, bm_ref, bmd_ref,
+                     *refs):
     """Sweep variant that builds pts = ro + rd*z IN-KERNEL from per-ray
     packed rays [Rt, 8] + point-major z [T, 1] — HBM never sees the
     [N, 3] points or the padded [N, 8] pin (the pad/broadcast glue that
@@ -172,7 +183,7 @@ def _sdf_rays_kernel(meta, n_lin, S, rays_ref, z_ref, bm_ref, bmd_ref, *refs):
                        preferred_element_type=jnp.float32) * z)
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
-    h = _sdf_layers(meta, n_lin, ws, bs, emb)
+    h = _sdf_layers(meta, n_lin, ws, bs, emb, act)
     out_ref[:] = h[:, 0:8]
 
 
@@ -243,7 +254,9 @@ def fused_sdf_fn(params: dict, cfg: SDFConfig, pts: jnp.ndarray,
 
 
 def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           dtype: str = "bfloat16",
+                           act: str = "softplus"):
     """Returns sdf_fn(rays_o [R,3], rays_d [R,3], z [R,S]) -> sdf [R,S].
 
     Same math as make_fused_sdf_fn but pts are computed in-kernel from
@@ -256,13 +269,16 @@ def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
     from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
 
     ws, bs, meta = pack_sdf_weights(params, cfg)
-    if not interpret:
-        # bf16 dots: these sweeps only PLACE no-grad importance samples
-        # (hierarchical_z_vals), where sample-position precision is not
-        # a parity target — same policy as the fused hierarchy kernel.
-        # Measured: the f32 chain ran at ~85 TF/s (the f32 MXU ceiling);
-        # bf16 lifts the coarse sweep toward the 175 TF/s softplus-chain
-        # roofline. Mesh extraction keeps f32 (make_fused_sdf_fn).
+    if not interpret and dtype == "bfloat16":
+        # bf16 dots (default): these sweeps only PLACE no-grad importance
+        # samples (hierarchical_z_vals), where sample-position precision
+        # is not a parity target — same policy as the fused hierarchy
+        # kernel. Measured: the f32 chain ran at ~85 TF/s (the f32 MXU
+        # ceiling); bf16 lifts the coarse sweep toward the 175 TF/s
+        # softplus-chain roofline. Mesh extraction keeps f32
+        # (make_fused_sdf_fn). RendererConfig.sweep_dtype='float32'
+        # opts the sweeps back into f32 (ADVICE r3: configurable
+        # precision/quality tradeoff short of fused_sdf='off').
         ws = tuple(w.astype(jnp.bfloat16) for w in ws)
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
@@ -284,7 +300,7 @@ def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
         rays3 = rays.reshape(G, Rt, 8)
         z_pt = z.reshape(R_pad * S, 1)
 
-        kernel = partial(_sdf_rays_kernel, meta, n_lin, S)
+        kernel = partial(_sdf_rays_kernel, meta, n_lin, S, act)
         in_specs = [
             pl.BlockSpec((1, Rt, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -316,6 +332,34 @@ def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
     return sdf_fn
 
 
+def make_xla_sdf_rays_fn(params: dict, cfg: SDFConfig,
+                         act: str = "softplus"):
+    """Plain-XLA twin of make_fused_sdf_rays_fn: same padded weights,
+    same in-kernel math (_sdf_layers works on plain arrays), same
+    (rays_o, rays_d, z) -> sdf [R, S] contract. The paired XLA path for
+    the sweep-activation flag — fused-vs-XLA hierarchy parity tests
+    compare against THIS when act != 'softplus' (and CPU runs with
+    act='relu' use it so placement matches the TPU kernels)."""
+    from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
+
+    ws, bs, meta = pack_sdf_weights(params, cfg)
+    n_lin = meta["n_lin"]
+    bm = pe_basis(cfg.multires, cfg.scale, 0, meta["d0p"])
+
+    def sdf_fn(rays_o, rays_d, z):
+        R, S = z.shape
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+        phase = jnp.dot(pts, bm[0:3],
+                        preferred_element_type=jnp.float32)
+        emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
+               + jnp.cos(phase) * bm[10:11])
+        h = _sdf_layers(meta, n_lin, ws, bs, emb, act)
+        return h[:, 0].reshape(R, S) / meta["scale"]
+
+    return sdf_fn
+
+
 def resolve_sdf_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
     """Pick the sweep-time SDF evaluator.
 
@@ -335,14 +379,21 @@ def resolve_sdf_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
     return None
 
 
-def resolve_sdf_sweep_fn(params: dict, cfg: SDFConfig, mode: str = "auto"):
+def resolve_sdf_sweep_fn(params: dict, cfg: SDFConfig, mode: str = "auto",
+                         dtype: str = "bfloat16", act: str = "softplus"):
     """Rays+z sweep evaluator (see make_fused_sdf_rays_fn); same mode
-    contract as resolve_sdf_fn. None = caller falls back to pts-based."""
+    contract as resolve_sdf_fn. None = caller falls back to pts-based.
+    `dtype` is RendererConfig.sweep_dtype (the sweep-dot precision);
+    `act` is RendererConfig.sweep_activation — with act='relu' the
+    CPU/auto fallback returns the XLA twin instead of None so sample
+    placement is identical on and off the chip."""
     if mode == "off":
         return None
     params = jax.lax.stop_gradient(params)
     if mode == "interpret":
-        return make_fused_sdf_rays_fn(params, cfg, interpret=True)
+        return make_fused_sdf_rays_fn(params, cfg, interpret=True, act=act)
     if mode == "on" or (mode == "auto" and fused_kernel_available()):
-        return make_fused_sdf_rays_fn(params, cfg)
+        return make_fused_sdf_rays_fn(params, cfg, dtype=dtype, act=act)
+    if act != "softplus":
+        return make_xla_sdf_rays_fn(params, cfg, act=act)
     return None

@@ -137,10 +137,11 @@ def sample_pixels_masked_exact(key, masks: jnp.ndarray, n_rays: int,
     randperm over dynamic-size index sets; here it is shape-static and
     jittable: Gumbel-top-k over the flattened [B*H*W] pixels per set
     (a uniform random key per pixel, top_k of size n_rays), spliced at
-    the dynamic boundary n_in. Select with
-    TrainerConfig.mask_sample_mode = 'exact' (YAML
-    DATA_PRESET.MASK_SAMPLE_MODE); the default 'bernoulli' sampler
-    (sample_pixels_masked) matches it in expectation and is cheaper.
+    the dynamic boundary n_in. This is the DEFAULT
+    (TrainerConfig.mask_sample_mode = 'exact', YAML
+    DATA_PRESET.MASK_SAMPLE_MODE); the 'bernoulli' sampler
+    (sample_pixels_masked) matches it in expectation and is cheaper
+    per step (no [B*H*W] top_k).
 
     Returns (cam_idx [R], py [R], px [R], sel_mask [R]).
     """

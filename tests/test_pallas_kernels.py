@@ -157,3 +157,42 @@ def test_render_rays_with_interpret_kernel(key):
                                np.asarray(out_fused["color_fine"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_plain["depth"]),
                                np.asarray(out_fused["depth"]), atol=1e-4)
+
+
+def test_sweep_relu_fused_matches_xla_twin(key):
+    """sweep_activation='relu': the fused sweep kernel (interpret) must
+    equal make_xla_sdf_rays_fn exactly-ish, and differ from softplus by
+    at most ~L*ln2/100 through the depth (the placement-only bound the
+    flag's docstring claims)."""
+    from color_neus_tpu.ops.pallas.sdf_mlp import (
+        make_fused_sdf_rays_fn, make_xla_sdf_rays_fn, resolve_sdf_sweep_fn)
+    cfg = SDFConfig(d_hidden=64, n_layers=4, skip_in=(2,), multires=4)
+    params = fields.init_sdf(key, cfg)
+    R, S = 5, 48
+    k1, k2, k3 = jax.random.split(key, 3)
+    ro = jax.random.normal(k1, (R, 3)) * 0.3
+    rd = jax.random.normal(k2, (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(k3, (R, S)) * 2.0, axis=1)
+
+    fused = make_fused_sdf_rays_fn(params, cfg, tile_pts=256,
+                                   interpret=True, act="relu")(ro, rd, z)
+    xla = make_xla_sdf_rays_fn(params, cfg, act="relu")(ro, rd, z)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
+                               atol=2e-5, rtol=1e-5)
+
+    soft = make_xla_sdf_rays_fn(params, cfg, act="softplus")(ro, rd, z)
+    pts = (ro[:, None] + rd[:, None] * z[..., None]).reshape(-1, 3)
+    ref = fields.sdf_value(params, cfg, pts)[:, 0].reshape(R, S)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # relu vs softplus drift stays within the advertised placement bound
+    assert float(jnp.abs(fused - soft).max()) < 0.05
+
+    # resolver: act='relu' must yield a sweep fn even where the fused
+    # kernel is unavailable (CPU auto), and it must be the XLA twin
+    fn = resolve_sdf_sweep_fn(params, cfg, "auto", act="relu")
+    assert fn is not None
+    np.testing.assert_allclose(np.asarray(fn(ro, rd, z)), np.asarray(xla),
+                               atol=1e-6)
+    assert resolve_sdf_sweep_fn(params, cfg, "auto") is None  # CPU softplus

@@ -193,3 +193,54 @@ def test_resolve_save_acts_policy(key, monkeypatch):
     monkeypatch.setenv("MARCH_STASH_BUDGET_GB", str(bts / 1024 ** 3))
     assert resolve_save_acts("auto", meta, n_pts) is True
     assert resolve_save_acts("auto", meta, n_pts + 1) is False
+
+
+def test_march_bwd_precision_modes(key):
+    """march_bwd_precision plumbing: in interpret mode (all-f32 dots and
+    stores already) every mode must be numerically IDENTICAL to the
+    default — the knob only widens dtypes, never changes the math. Also
+    checks the stash accounting grows for the f32 SX plane and that the
+    meta carries the knob. save_acts=True exercises the mode-dependent
+    stash export/import path (the recompute path shares the same helper
+    code, covered by the base save/recompute equality test)."""
+    from color_neus_tpu.ops.pallas.point_pipeline import (
+        pack_pipeline_weights)
+    from color_neus_tpu.ops.pallas.ray_march import march_stash_bytes
+
+    base = SMALL_COLOR
+    params = neus.init_renderer(key, base)
+    dense = resolve_dense(params, base)
+    _, _, meta_b = pack_pipeline_weights(dense, base)
+    assert meta_b.sdf_prec == "bf16"
+
+    R, S = 4, base.n_samples + base.n_importance
+    ro, rd, z = _rays_z(R, S, seed=17)
+    rng = np.random.RandomState(19)
+    lw = jnp.asarray(rng.randn(R, 16), jnp.float32)
+
+    def loss(cfg):
+        def f(params, ro, rd):
+            dense = resolve_dense(params, cfg)
+            inv_s = fields.variance_inv_s(params["variance"])
+            o16 = fused_ray_march(dense, cfg, ro, rd, z, inv_s,
+                                  tile_rays=2, interpret=True,
+                                  save_acts=True)
+            return jnp.sum(lw * o16)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))
+
+    v_b, g_b = loss(base)(params, ro, rd)
+    for prec in ("f32stash", "f32"):
+        rp = dataclasses.replace(base, march_bwd_precision=prec)
+        _, _, meta_p = pack_pipeline_weights(dense, rp)
+        assert meta_p.sdf_prec == prec
+        # f32 SX stash plane costs HBM (only) in the widened modes
+        assert march_stash_bytes(meta_p, 1024) > march_stash_bytes(meta_b, 1024)
+        v_p, g_p = loss(rp)(params, ro, rd)
+        np.testing.assert_allclose(float(v_p), float(v_b), rtol=1e-6)
+        flat_b = jax.tree_util.tree_leaves_with_path(g_b)
+        flat_p = jax.tree_util.tree_leaves(g_p)
+        for (path, a), b in zip(flat_b, flat_p):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(path))

@@ -151,3 +151,46 @@ def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
     loop2 = TrainLoop(tiny_cfg(tmp_path, iterations=1000), exp_id="t",
                       resume=loop.recorder.exp_path)
     assert int(loop2.state["step"]) == step
+
+
+def test_dtu83_script_and_eval_views(tmp_path, monkeypatch):
+    """CI dry-run of the no-data steps of tools/run_dtu83.sh (VERDICT r3
+    #7): the script refuses cleanly without DATA_ROOT / without the scan
+    directory, and the render-side comparison tool (tools/eval_views.py)
+    runs end-to-end on the synthetic dataset from a real checkpoint."""
+    import json
+    import subprocess
+    import sys
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "run_dtu83.sh")
+
+    env = {k: v for k, v in os.environ.items() if k != "DATA_ROOT"}
+    r = subprocess.run(["bash", script], capture_output=True, text=True,
+                       env=env, cwd=tmp_path)
+    assert r.returncode != 0 and "DATA_ROOT" in (r.stderr + r.stdout)
+
+    env["DATA_ROOT"] = str(tmp_path)  # exists, but no dtu_scan83/
+    r = subprocess.run(["bash", script], capture_output=True, text=True,
+                       env=env, cwd=tmp_path)
+    assert r.returncode == 2 and "cameras_sphere.npz" in r.stderr
+
+    # eval_views on a synthetic checkpoint
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg(tmp_path, iterations=3)
+    loop1 = TrainLoop(cfg, exp_id="t")
+    loop1.run()
+    ckpt = loop1.recorder.ckpt_path()
+    cfg_yaml = tmp_path / "tiny.yml"
+    cfg_yaml.write_text(yaml.safe_dump(cfg.to_dict()))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import eval_views
+        rep = eval_views.main([
+            "--cfg", str(cfg_yaml), "--reload", ckpt, "--n", "2",
+            "--out", str(tmp_path / "views.json")])
+    finally:
+        sys.path.pop(0)
+    assert rep["n_views"] == 2 and np.isfinite(rep["psnr_mean"])
+    assert json.load(open(tmp_path / "views.json"))["views"]

@@ -41,9 +41,12 @@ def test_grad_audit_bf16_vs_f32():
     assert rep["platform"] == "tpu", rep
     for grp, v in rep["groups"].items():
         # bf16 stores + bf16 MXU dots against the f32 XLA oracle: the
-        # direction must be solid even where magnitudes drift
+        # direction must be solid even where magnitudes drift.
+        # Calibrated (VERDICT r3 #5): measured 0.054 @256 rays / 0.095
+        # @512 on the worst (sdf) group — 0.11 leaves regression margin
+        # without tripping on batch-content variance.
         assert v["min_cos"] > 0.99, (grp, v)
-        assert v["max_rel_err"] < 0.15, (grp, v)
+        assert v["max_rel_err"] < 0.11, (grp, v)
 
 
 @pytest.mark.parametrize("acts", ["save", "recompute"])

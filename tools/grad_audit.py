@@ -18,6 +18,25 @@ the audit isolates the backward kernel, not z-jitter.
 
 Run on the bench chip:   python tools/grad_audit.py
 CI (CPU, interpret):     AUDIT_INTERPRET=1 python tools/grad_audit.py
+Precision A/B:           AUDIT_PREC=f32stash|f32 python tools/grad_audit.py
+                         (sets RendererConfig.march_bwd_precision for
+                         the fused variant)
+
+Benignity metric (VERDICT r3 #2): what matters over a 100k-step run is
+the SYSTEMATIC part of the kernel error — minibatch noise averages out,
+bias doesn't. The audit therefore computes the error vector
+e_i = g_fused(batch_i) - g_oracle(batch_i) on TWO independent ray
+batches and reports
+  * err_batch_cos        cos(e_1, e_2): ~1 => the error is a fixed bias,
+                         ~0 => it decorrelates across batches and acts
+                         as (tiny) extra minibatch noise,
+  * systematic_err_ratio sqrt(max(e1.e2,0)) / sqrt(max(g1.g2,0)) — the
+                         estimated |bias| over the estimated |expected
+                         gradient| (cross-batch inner products are
+                         unbiased estimators of the squared systematic
+                         norms; the noise parts cancel in expectation).
+This replaces the earlier update_weighted_err field, which reduced to
+the plain rel_err (it weighted by the leaf norm, not the Adam update).
 
 Reference semantics audited: NeuS.py:294-408 forward + the
 fields.py:105-115 double-backprop path.
@@ -26,6 +45,7 @@ fields.py:105-115 double-backprop path.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -57,8 +77,10 @@ def main():
 
     n_rays = int(os.environ.get("AUDIT_N_RAYS", 512))
     interpret = bool(os.environ.get("AUDIT_INTERPRET"))
+    prec = os.environ.get("AUDIT_PREC", "bf16")
     rcfg = RendererConfig(
         kind="color_neus", n_samples=256, n_importance=256, up_sample_steps=4,
+        march_bwd_precision=prec,
         color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
     )
     if interpret:
@@ -92,10 +114,10 @@ def main():
     g_fused = jax.jit(jax.grad(lambda p: loss_fn(p, fused_variant)))(params)
     g_xla = jax.jit(jax.grad(lambda p: loss_fn(p, "off")))(params)
 
-    # ---- minibatch-noise floor: the same f32 oracle on a FRESH ray
-    # batch. The kernel's rounding error only matters if it is not
-    # dwarfed by the gradient's intrinsic stochasticity at this batch
-    # size — cos(oracle_b1, oracle_b2) is that floor.
+    # ---- second, independent ray batch: both variants again.
+    # oracle(b2) gives the minibatch-noise floor (cos of two oracle
+    # grads); fused(b2) lets us decompose the KERNEL error into
+    # systematic bias vs batch-decorrelated noise (module docstring).
     ko2, kd2 = jax.random.split(jax.random.PRNGKey(11))
     o2 = jax.random.normal(ko2, (n_rays, 3))
     o2 = o2 / jnp.linalg.norm(o2, axis=1, keepdims=True) * 1.5
@@ -103,8 +125,8 @@ def main():
     d2 = d2 / jnp.linalg.norm(d2, axis=1, keepdims=True)
     near2, far2 = near_far_from_sphere(o2, d2)
 
-    def loss_fn2(p):
-        cfg2 = dataclasses.replace(rcfg, fused_march="off",
+    def loss_fn2(p, variant):
+        cfg2 = dataclasses.replace(rcfg, fused_march=variant,
                                    fused_core="off", fused_sdf="off")
         out = neus.render_rays_train(p, cfg2, o2, d2, near2, far2,
                                      key=jax.random.PRNGKey(3),
@@ -114,12 +136,15 @@ def main():
                 + jnp.mean(out["weight_sum"])
                 + jnp.mean(out["delta_sum"]) ** 2)
 
-    g_xla_b2 = jax.jit(jax.grad(loss_fn2))(params)
+    g_xla_b2 = jax.jit(jax.grad(lambda p: loss_fn2(p, "off")))(params)
+    g_fused_b2 = jax.jit(
+        jax.grad(lambda p: loss_fn2(p, fused_variant)))(params)
 
-    ff, fx, fb2 = {}, {}, {}
+    ff, fx, fb2, ff2 = {}, {}, {}, {}
     _flatten("", jax.device_get(g_fused), ff)
     _flatten("", jax.device_get(g_xla), fx)
     _flatten("", jax.device_get(g_xla_b2), fb2)
+    _flatten("", jax.device_get(g_fused_b2), ff2)
 
     groups = {}
     worst = {"leaf": None, "rel": 0.0}
@@ -134,65 +159,52 @@ def main():
         nc = float(np.linalg.norm(c))
         cos_mb = float(np.dot(b, c) / ((nb * nc) + 1e-30)) \
             if nb > 0 and nc > 0 else 1.0
+        # kernel-error decomposition (docstring): e1/e2 = fused - oracle
+        # on the two batches
+        e1 = a - b
+        e2 = ff2[name].ravel() - c
+        n1, n2 = float(np.linalg.norm(e1)), float(np.linalg.norm(e2))
+        ecos = float(np.dot(e1, e2) / (n1 * n2 + 1e-30)) \
+            if n1 > 0 and n2 > 0 else 0.0
+        sys_err = math.sqrt(max(float(np.dot(e1, e2)), 0.0))
+        sys_grad = math.sqrt(max(float(np.dot(b, c)), 0.0))
+        sys_ratio = sys_err / (sys_grad + 1e-30)
         grp = name.split("/")[0]
         g = groups.setdefault(grp, {"max_rel_err": 0.0, "min_cos": 1.0,
-                                    "min_minibatch_cos": 1.0})
+                                    "min_minibatch_cos": 1.0,
+                                    "max_err_batch_cos": 0.0,
+                                    "max_systematic_err_ratio": 0.0})
         g["max_rel_err"] = max(g["max_rel_err"], rel)
         g["min_cos"] = min(g["min_cos"], cos)
         # the noise floor: same oracle, different ray batch
         g["min_minibatch_cos"] = min(g["min_minibatch_cos"], cos_mb)
+        g["max_err_batch_cos"] = max(g["max_err_batch_cos"], ecos)
+        g["max_systematic_err_ratio"] = max(g["max_systematic_err_ratio"],
+                                            sys_ratio)
         if rel > worst["rel"]:
-            worst = {"leaf": name, "rel": rel}
-
-    # ---- attribution for the worst leaf: where does its error live?
-    # Row-wise (rows of lin0/v = PE input rows: raw xyz then sin/cos per
-    # frequency), plus an UPDATE-WEIGHTED error: each row's absolute
-    # error relative to the LEAF's gradient norm. A large norm-rel-err
-    # confined to rows whose own gradient is ~zero contributes nothing
-    # to the parameter update (VERDICT r2 #4 benignity criterion).
-    attribution = None
-    wname = worst["leaf"]
-    if wname is not None and ff[wname].ndim == 2:
-        a2, b2 = ff[wname], fx[wname]
-        leaf_norm = float(np.linalg.norm(b2)) + 1e-30
-        rows = []
-        for r in range(a2.shape[0]):
-            d = float(np.linalg.norm(a2[r] - b2[r]))
-            nb_r = float(np.linalg.norm(b2[r]))
-            rows.append({
-                "row": r,
-                "row_grad_frac": round(nb_r / leaf_norm, 6),
-                "rel_err": round(d / (nb_r + 1e-30), 4),
-                "err_vs_leaf": round(d / leaf_norm, 6),
-            })
-        rows.sort(key=lambda x: -x["rel_err"])
-        weighted = float(np.linalg.norm(a2 - b2)) / leaf_norm
-        attribution = {
-            "leaf": wname,
-            "update_weighted_err": round(weighted, 6),
-            "worst_rows_by_rel_err": rows[:6],
-            "note": ("rows are the PE input dims of lin0 "
-                     "(raw xyz, then sin/cos per frequency); "
-                     "err_vs_leaf is the row's absolute error over the "
-                     "whole leaf's gradient norm"),
-        }
+            worst = {"leaf": name, "rel": rel, "err_batch_cos": ecos,
+                     "systematic_err_ratio": sys_ratio}
 
     report = {
         "config": "color_neus 8x256/PE6 + 4x256 color + 4x256 relight",
         "samples_per_ray": rcfg.n_samples + rcfg.n_importance,
         "n_rays": n_rays,
         "fused_variant": fused_variant,
+        "march_bwd_precision": prec,
         "platform": jax.devices()[0].platform,
         "groups": {k: {kk: round(vv, 6) for kk, vv in v.items()}
                    for k, v in sorted(groups.items())},
-        "worst_leaf": {"name": worst["leaf"], "rel_err": round(worst["rel"], 6)},
+        "worst_leaf": {"name": worst["leaf"],
+                       "rel_err": round(worst["rel"], 6),
+                       "err_batch_cos": round(worst.get("err_batch_cos", 0.0), 4),
+                       "systematic_err_ratio":
+                           round(worst.get("systematic_err_ratio", 0.0), 6)},
     }
-    if attribution is not None:
-        report["worst_leaf_attribution"] = attribution
     print(json.dumps(report))
     if os.environ.get("WRITE_REPORT"):
-        os.makedirs("reports", exist_ok=True)
-        with open("reports/grad_audit.json", "w") as f:
+        out = os.environ.get("AUDIT_OUT", "reports/grad_audit.json")
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
             json.dump(report, f, indent=1)
     return report
 

@@ -63,11 +63,12 @@ def main():
     t2 = timeit(many(neus.merge_z_vals_sort), z, zn, s, sn)
     res["sort_ms_per_merge"] = round(t2 / K, 3)
 
-    # equality check
+    # equality check — EXACT: the docstring claim in models/neus.py is
+    # "bit-identical", so assert bitwise equality, not allclose
     a = neus.merge_z_vals(z, zn, s, sn)
     b = neus.merge_z_vals_sort(z, zn, s, sn)
-    res["z_equal"] = bool(jnp.allclose(a[0], b[0]))
-    res["sdf_equal"] = bool(jnp.allclose(a[1], b[1]))
+    res["z_equal"] = bool(jnp.all(a[0] == b[0]))
+    res["sdf_equal"] = bool(jnp.all(a[1] == b[1]))
     print(json.dumps(res))
 
 

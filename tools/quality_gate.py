@@ -58,13 +58,21 @@ def main():
 
     cfg = get_config("config/Color_NeuS_synthetic.yml", _A())
     fused = os.environ.get("QG_FUSED", "")  # '' = config default (auto)
-    if fused:
+    prec = os.environ.get("QG_PREC", "")    # march_bwd_precision A/B
+    sweep_act = os.environ.get("QG_SWEEP_ACT", "")  # sweep_activation A/B
+    if fused or prec or sweep_act:
         cfg = cfg.thaw_copy()
         r = cfg["MODEL"]["RENDERER"]
-        for k in ("FUSED_MARCH", "FUSED_CORE", "FUSED_SDF"):
-            r[k] = fused
+        if fused:
+            for k in ("FUSED_MARCH", "FUSED_CORE", "FUSED_SDF"):
+                r[k] = fused
+        if prec:
+            r["MARCH_BWD_PRECISION"] = prec
+        if sweep_act:
+            r["SWEEP_ACTIVATION"] = sweep_act
         cfg.freeze()
-    loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{fused or 'auto'}",
+    tag = "_".join(x for x in (fused or "auto", prec, sweep_act) if x)
+    loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{tag}",
                      require_clean_git=False)
     loop.run()
 
@@ -91,14 +99,21 @@ def main():
     mean_err = float(rad_err.mean())
     p95_err = float(np.percentile(rad_err, 95))
 
-    # thresholds calibrated to the measured r2 baseline at 1000 steps
-    # (psnr 35.66, radial_err_mean 0.020 — reports/quality_gate.json);
-    # the gate catches regressions, not absolute perfection
-    gate_psnr = 30.0 if steps >= 1000 else 18.0
-    gate_err = 0.03 if steps >= 1000 else 0.06
+    # thresholds calibrated at the gate's OWN settings (VERDICT r3 #5):
+    #   200 steps @ 64^3 on the bench v5e (round-4 code, fused auto):
+    #     psnr 32.26, radial_err_mean 0.0246
+    #     (reports/tpu_gates_r4/quality_short.json)
+    #   1000 steps @ 128^3: fused 35.61 / f32-XLA 36.14, radial ~0.020
+    #     (reports/quality_gate_ab.json)
+    # margins: ~1.6 dB PSNR, ~30% radial — tight enough that a one-line
+    # numeric sabotage (e.g. an f32 stash lane dropped to bf16) fails.
+    gate_psnr = 34.0 if steps >= 1000 else 30.5
+    gate_err = 0.027 if steps >= 1000 else 0.033
     verdict = {
         "steps": steps, "resolution": res,
         "fused": fused or "auto",
+        "march_bwd_precision": prec or "bf16",
+        "sweep_activation": sweep_act or "softplus",
         "platform": jax.devices()[0].platform,
         "psnr": round(p, 2), "ssim": round(s, 4),
         "n_verts": int(len(verts)), "n_tris": int(len(tris)),

@@ -15,11 +15,22 @@
 #      PSNR/SSIM land in the exp dir on the reference cadence
 #   2. extract the 512^3 mesh with vertex colors from the final
 #      checkpoint (evaluation.py -rr 512, reference README.md:88)
-#   3. if GT_MESH is given, report symmetric Chamfer via
+#   3. render-side comparison: every 7th view re-rendered and scored
+#      vs GT (tools/eval_views.py) -> reports/dtu83_views.json
+#   4. if GT_MESH is given, report symmetric Chamfer via
 #      tools/mesh_compare.py (reference mesh_tools.py:59-70 workflow)
+#      -> reports/dtu83_chamfer.txt
 #
-# Timing of the 512^3 extraction is recorded to
-# reports/dtu83_extract_time.txt.
+# Artifacts after a full run:
+#   exp/dtu83_readiness_*/checkpoints/state.npz      trained state
+#   exp/eval_Color_NeuS_83_*/meshes/*_color.ply      512^3 colored mesh
+#   reports/dtu83_extract_time.txt                   extraction wall time
+#   reports/dtu83_views.json                         PSNR/SSIM per view + mean
+#   reports/dtu83_chamfer.txt                        chamfer vs GT (if given)
+#
+# CI dry-runs the no-data steps (tests/test_runtime.py::test_dtu83_script
+# checks the missing-DATA_ROOT refusal and drives eval_views.py on the
+# synthetic dataset).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -52,8 +63,13 @@ echo "512^3 extraction wall time: $(echo "$T1 - $T0" | bc) s" \
 MESH=$(ls -t exp/eval_Color_NeuS_83_*/meshes/*_color.ply 2>/dev/null | head -1)
 echo "mesh: $MESH"
 
+echo "== render-side eval: every 7th view, PSNR/SSIM vs GT =="
+python tools/eval_views.py --cfg config/Color_NeuS_dtu.yml -obj 83 \
+    --data_root "$DATA_ROOT" --reload "$CKPT" --n 7 \
+    --out reports/dtu83_views.json
+
 if [ -n "$GT_MESH" ]; then
     echo "== chamfer vs $GT_MESH =="
     python tools/mesh_compare.py "$MESH" "$GT_MESH" | tee reports/dtu83_chamfer.txt
 fi
-echo "== done: validation PSNR/SSIM under $EXP_DIR, mesh at $MESH =="
+echo "== done: views in reports/dtu83_views.json, mesh at $MESH =="

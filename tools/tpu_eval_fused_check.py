@@ -56,13 +56,20 @@ def main():
     params = neus.init_renderer(jax.random.PRNGKey(3), rcfg)
     bmin, bmax = np.full(3, -1.01, np.float32), np.full(3, 1.01, np.float32)
     grid_f = M.evaluate_sdf_grid(params, rcfg, bmin, bmax, 64)
-    xla_fn = jax.jit(
-        lambda p: -fields.sdf_value(params["sdf"], rcfg.sdf, p)[:, 0])
+
+    # the XLA oracle must run true-f32 dots: TPU's DEFAULT f32 matmul
+    # precision is a single bf16 pass (~1e-2 abs error on this grid —
+    # the fields.py:16-18 contract the first on-chip run of this gate
+    # caught being violated here); the Pallas kernel's dots are real f32
+    def xla_chunk(p):
+        with jax.default_matmul_precision("highest"):
+            return -fields.sdf_value(params["sdf"], rcfg.sdf, p)[:, 0]
+
     grid_x = M.evaluate_sdf_grid(params, rcfg, bmin, bmax, 64,
-                                 sdf_chunk_fn=xla_fn)
+                                 sdf_chunk_fn=jax.jit(xla_chunk))
     err = float(np.abs(grid_f - grid_x).max())
     rep["checks"]["sdf_grid_max_abs_err"] = round(err, 6)
-    # both paths are f32; only fma/fusion reassociation differs
+    # both paths now f32; only fma/fusion reassociation differs
     ok &= err < 1e-4
 
     rep["pass"] = bool(ok)
