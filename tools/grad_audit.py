@@ -111,8 +111,15 @@ def main():
                 + jnp.mean(out["delta_sum"]) ** 2)
 
     fused_variant = "interpret" if interpret else "on"
-    g_fused = jax.jit(jax.grad(lambda p: loss_fn(p, fused_variant)))(params)
-    g_xla = jax.jit(jax.grad(lambda p: loss_fn(p, "off")))(params)
+    # TRUE-f32 oracle: TPU's DEFAULT f32 matmul precision is a single
+    # bf16 pass, so without this the 'oracle' carries its own bf16
+    # rounding. The context covers the shared XLA sampling sweeps of
+    # BOTH variants (identical sample positions preserved); the fused
+    # kernels pin their dot precisions internally and are unaffected.
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.jit(
+            jax.grad(lambda p: loss_fn(p, fused_variant)))(params)
+        g_xla = jax.jit(jax.grad(lambda p: loss_fn(p, "off")))(params)
 
     # ---- second, independent ray batch: both variants again.
     # oracle(b2) gives the minibatch-noise floor (cos of two oracle
@@ -136,9 +143,10 @@ def main():
                 + jnp.mean(out["weight_sum"])
                 + jnp.mean(out["delta_sum"]) ** 2)
 
-    g_xla_b2 = jax.jit(jax.grad(lambda p: loss_fn2(p, "off")))(params)
-    g_fused_b2 = jax.jit(
-        jax.grad(lambda p: loss_fn2(p, fused_variant)))(params)
+    with jax.default_matmul_precision("highest"):
+        g_xla_b2 = jax.jit(jax.grad(lambda p: loss_fn2(p, "off")))(params)
+        g_fused_b2 = jax.jit(
+            jax.grad(lambda p: loss_fn2(p, fused_variant)))(params)
 
     ff, fx, fb2, ff2 = {}, {}, {}, {}
     _flatten("", jax.device_get(g_fused), ff)

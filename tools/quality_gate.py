@@ -60,7 +60,8 @@ def main():
     fused = os.environ.get("QG_FUSED", "")  # '' = config default (auto)
     prec = os.environ.get("QG_PREC", "")    # march_bwd_precision A/B
     sweep_act = os.environ.get("QG_SWEEP_ACT", "")  # sweep_activation A/B
-    if fused or prec or sweep_act:
+    sweep_dt = os.environ.get("QG_SWEEP_DTYPE", "")  # sweep_dtype A/B
+    if fused or prec or sweep_act or sweep_dt:
         cfg = cfg.thaw_copy()
         r = cfg["MODEL"]["RENDERER"]
         if fused:
@@ -70,8 +71,11 @@ def main():
             r["MARCH_BWD_PRECISION"] = prec
         if sweep_act:
             r["SWEEP_ACTIVATION"] = sweep_act
+        if sweep_dt:
+            r["SWEEP_DTYPE"] = sweep_dt
         cfg.freeze()
-    tag = "_".join(x for x in (fused or "auto", prec, sweep_act) if x)
+    tag = "_".join(x for x in (fused or "auto", prec, sweep_act, sweep_dt)
+                   if x)
     loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{tag}",
                      require_clean_git=False)
     loop.run()
