@@ -205,6 +205,17 @@ class PMeta:
     # (RendererConfig.march_bwd_precision; see _sdf_bf/_sdf_store)
     sdf_prec: str = "bf16"
 
+    @property
+    def has_dirs_c(self) -> bool:
+        """Whether the color chain consumes view dirs. In 'no_view_dir'
+        mode (the Color-NeuS flagship — reference fields.py:119-188
+        mode table, Color_NeuS.py:14 requires it) the 128-lane dirs
+        block of the color input would be all-zero weights: the packed
+        layout drops it entirely (color_first in_p 512 -> 384, no
+        dirs_c encoder), cutting ~25% of that GEMM's FLOPs in fwd and
+        its dW/dx in the pullback."""
+        return self.color_mode in ("idr", "no_normal")
+
     def __getitem__(self, k):  # dict-style access used by the kernels
         return getattr(self, k)
 
@@ -283,7 +294,10 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
     # ---- color ----
     feat = meta["feat_dim"]
     featp = _rup(feat)
-    cin = 128 + 128 + featp
+    # 'no_view_dir' drops the (all-zero-weight) dirs block entirely —
+    # see PMeta.has_dirs_c
+    dblk = 128 if color.mode in ("idr", "no_normal") else 0
+    cin = 128 + dblk + featp
     for l in range(color.n_layers + 1):
         w = dense["color_w"][l]
         b = dense["color_b"][l]
@@ -300,7 +314,7 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
             if color.mode in ("idr", "no_view_dir"):
                 wp = wp.at[3:6, :out_real].set(w[:, c:c + 3].T)  # normals/grad
                 c += 3
-            wp = wp.at[256:256 + feat, :out_real].set(w[:, c:].T)
+            wp = wp.at[128 + dblk:128 + dblk + feat, :out_real].set(w[:, c:].T)
             meta["layers"].append(("color_first", cin, out_p, out_real))
         else:
             in_p = _rup(in_real)
@@ -448,7 +462,8 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
     sbf = _sdf_bf(meta, bf16)
 
     emb, phase_e = _encode(pin, bm_e_ref[:])           # [T, d0p]
-    dirs_c, _ = _encode(pin, bm_c_ref[:])              # [T, 128]
+    if meta["has_dirs_c"]:
+        dirs_c, _ = _encode(pin, bm_c_ref[:])          # [T, 128]
     if meta["n_relight"] > 0:
         dirs_r, _ = _encode(pin, bm_r_ref[:])          # [T, 128]
 
@@ -506,7 +521,9 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
         [feat, jnp.zeros((T, featp - meta["feat_dim"]), jnp.float32)], axis=1)
 
     # ---- color chain ----
-    h = jnp.concatenate([small, dirs_c, feat_block], axis=1)  # [T, 512]
+    h = (jnp.concatenate([small, dirs_c, feat_block], axis=1)
+         if meta["has_dirs_c"]
+         else jnp.concatenate([small, feat_block], axis=1))
     for l in range(meta["n_color"]):
         kind, in_p, out_p, out_real = meta["layers"][li]
         h = _kdot(h, w_refs[li][:], bf16) + b_refs[li][:]
@@ -699,9 +716,10 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
     L = meta.n_sdf
 
     bm_e = bm_e_ref[:]
-    bm_c = bm_c_ref[:]
     emb, phase_e = _encode(pin, bm_e)
-    dirs_c, phase_c = _encode(pin, bm_c)
+    phase_c = None
+    if meta.has_dirs_c:
+        dirs_c, phase_c = _encode(pin, bm_c_ref[:])
     phase_r = None
     if meta.n_relight > 0:
         bm_r = bm_r_ref[:]
@@ -754,7 +772,9 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
     # color forward (store inputs)
     Cs = []
     li = L
-    h = jnp.concatenate([small, dirs_c, feat_block], axis=1)
+    h = (jnp.concatenate([small, dirs_c, feat_block], axis=1)
+         if meta.has_dirs_c
+         else jnp.concatenate([small, feat_block], axis=1))
     for l in range(meta.n_color):
         Cs.append(h.astype(store))
         h = _kdot(h, w_refs[li][:], bf16) + b_refs[li][:]
@@ -919,7 +939,9 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
     gc_sg = SG[:, 4:7]
 
     emb, phase_e = _encode(pin, bm_e_ref[:])
-    dirs_c, phase_c = _encode(pin, bm_c_ref[:])
+    dirs_c = phase_c = None
+    if meta.has_dirs_c:
+        dirs_c, phase_c = _encode(pin, bm_c_ref[:])
     dirs_r = phase_r = None
     if meta.n_relight > 0:
         dirs_r, phase_r = _encode(pin, bm_r_ref[:])
@@ -945,9 +967,9 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
         kept = SCR[:, o:o + cs[l]]
         o += cs[l]
         if l == 0:
-            Cs.append(jnp.concatenate(
-                [small.astype(crstore), dirs_c.astype(crstore), kept],
-                axis=1))
+            pre = ([small.astype(crstore), dirs_c.astype(crstore)]
+                   if meta.has_dirs_c else [small.astype(crstore)])
+            Cs.append(jnp.concatenate(pre + [kept], axis=1))
         else:
             Cs.append(kept)
     Rs = []
@@ -996,7 +1018,8 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     L = meta.n_sdf
     sdf_out_p = meta.layers[L - 1][2]
     bm_e = bm_e_ref[:]
-    bm_c = bm_c_ref[:]
+    if meta.has_dirs_c:
+        bm_c = bm_c_ref[:]
     if meta.n_relight > 0:
         bm_r = bm_r_ref[:]
     _sdf, grad, gc, relit, delta = outs
@@ -1076,8 +1099,10 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
             hbar = xbar * (Xl.astype(jnp.float32) > 0.0)
     pts_hat = pts_hat + xbar[:, 0:3]
     grad_hat = grad_hat + xbar[:, 3:6]
-    dirs_c_hat = xbar[:, 128:256]
-    feat_hat = xbar[:, 256:256 + featd]
+    dblk = 128 if meta.has_dirs_c else 0
+    if meta.has_dirs_c:
+        dirs_c_hat = xbar[:, 128:256]
+    feat_hat = xbar[:, 128 + dblk:128 + dblk + featd]
 
     # ---------- sdf chain: second-order reverse-over-forward ----------
     # <grad, grad_hat> = inv_scale * directional derivative of f0_raw
@@ -1167,7 +1192,8 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     pin_hat = pin_hat + jax.lax.dot_general(
         v0_hat * phase_t * dJ, bm_e[0:8], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat)
+    if meta.has_dirs_c:
+        pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat)
     if meta.n_relight > 0:
         pin_hat = pin_hat + _encode_vjp(phase_r, bm_r, dirs_r_hat)
     # pts also used directly via `small`

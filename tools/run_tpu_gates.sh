@@ -30,10 +30,12 @@ ok = rep.get("pass", True)
 print(json.dumps({"artifact": sys.argv[1], "pass": bool(ok)}))
 sys.exit(0 if ok else 1)
 EOF
+    rm -f "$OUT/.${name}.out" "$OUT/.${name}.err"
   else
-    echo "gate $name FAILED (rc=$?)"; tail -5 "$OUT/.${name}.err"; fail=1
+    # keep the logs — a crashed gate with deleted stderr is undiagnosable
+    echo "gate $name FAILED (rc=$?); logs kept at $OUT/.${name}.{out,err}"
+    tail -5 "$OUT/.${name}.err"; fail=1
   fi
-  rm -f "$OUT/.${name}.out" "$OUT/.${name}.err"
 }
 
 run_gate grad_audit grad_audit.json \
