@@ -19,3 +19,25 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache, on by default (CN_TPU_COMPILE_CACHE=0
+# disables; =path overrides the location). Tunneled-TPU compiles of the
+# flagship train step run ~20 min; the cache turns every repeat
+# invocation of train.py / bench.py / the gate tools at an already-seen
+# config into a disk hit. Keyed by HLO + jaxlib + platform, so CPU test
+# runs and TPU runs never collide (tests point at their own dir anyway
+# via conftest, which wins by running first — we only set the dir when
+# nothing else has).
+import os as _os
+
+import jax as _jax
+
+_cc = _os.environ.get("CN_TPU_COMPILE_CACHE", "")
+if _cc != "0" and _jax.config.jax_compilation_cache_dir is None:
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cc or _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                 _os.pardir, ".jax_cache"))
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
