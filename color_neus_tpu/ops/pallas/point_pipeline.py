@@ -434,21 +434,27 @@ def _encode_vjp(phase, bm, emb_hat):
 
 def _kdot(a, b, bf16):
     """MXU dot: bf16 inputs (single-pass) with f32 accumulation when
-    bf16 is set — matches XLA's default f32-matmul precision on TPU;
-    full f32 otherwise (tests / parity)."""
+    bf16 is set — matches XLA's default f32-matmul precision on TPU.
+    The f32 mode pins Precision.HIGHEST: without it Mosaic's DEFAULT
+    f32 dot rounds the operands to bf16 anyway (single MXU pass), which
+    would make the "f32" parity/audit modes silently identical to bf16
+    (measured bit-identical on chip — see sdf_mlp._sdf_layers)."""
     if bf16:
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _kdot_b(a, b, bf16):
-    """a.T @ b (contract on batch dims)."""
+    """a.T @ b (contract on batch dims); precision policy as _kdot."""
     if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=(None if bf16
+                                          else jax.lax.Precision.HIGHEST))
 
 
 def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,

@@ -114,9 +114,14 @@ def _softplus100(x):
 def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
     """The padded weight-norm-resolved SDF MLP on an embedded tile.
 
-    Dot precision follows the weight dtype (currently f32 everywhere:
-    a bf16 variant was measured at parity — the sweeps are not
-    matmul-throughput-bound — so f32 exactness is kept).
+    Dot precision follows the weight dtype: bf16 weights run the
+    single-pass MXU dot (the fast sweep path); f32 weights request
+    Precision.HIGHEST — REQUIRED for actual f32 math, because both
+    XLA's and Mosaic's DEFAULT f32 matmul round the operands to bf16
+    (measured: an explicit-bf16 sweep and a "f32" default-precision
+    sweep were BIT-IDENTICAL over a 1000-step train). The f32 surfaces
+    (mesh-extraction grid eval, sweep_dtype='float32') are sin/cos +
+    softplus VPU-bound, so the extra MXU passes are nearly free there.
 
     act='relu' swaps the beta=100 softplus for relu — for SAMPLE
     PLACEMENT sweeps only (hierarchical_z_vals): softplus100 and relu
@@ -135,8 +140,11 @@ def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
         if kind == "skip":
             # zero-pad h to the aligned skip width, then append emb
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
+        prec = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
+                else None)
         h = (jnp.dot(h.astype(w.dtype), w,
-                     preferred_element_type=jnp.float32) + bs[l][:])
+                     preferred_element_type=jnp.float32,
+                     precision=prec) + bs[l][:])
         if l < n_lin - 1:
             h = jnp.maximum(h, 0.0) if act == "relu" else _softplus100(h)
     return h
@@ -151,15 +159,18 @@ def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
     # point_pipeline.pe_basis): one tiny MXU dot + sin/cos on the VPU —
     # no [N, d0p] embedding array ever touches HBM
     bm = bm_ref[:]
-    phase = jnp.dot(pin_ref[:], bm[0:8], preferred_element_type=jnp.float32)
+    # HIGHEST: default f32 dots round operands to bf16 (see _sdf_layers)
+    # — at 512^3 the resulting ~1e-2 SDF error exceeds a voxel
+    phase = jnp.dot(pin_ref[:], bm[0:8], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
     h = _sdf_layers(meta, n_lin, ws, bs, emb)
     out_ref[:] = h[:, 0:8]                    # [T, 8], col 0 = raw sdf
 
 
-def _sdf_rays_kernel(meta, n_lin, S, act, rays_ref, z_ref, bm_ref, bmd_ref,
-                     *refs):
+def _sdf_rays_kernel(meta, n_lin, S, act, exact, rays_ref, z_ref, bm_ref,
+                     bmd_ref, *refs):
     """Sweep variant that builds pts = ro + rd*z IN-KERNEL from per-ray
     packed rays [Rt, 8] + point-major z [T, 1] — HBM never sees the
     [N, 3] points or the padded [N, 8] pin (the pad/broadcast glue that
@@ -177,10 +188,14 @@ def _sdf_rays_kernel(meta, n_lin, S, act, rays_ref, z_ref, bm_ref, bmd_ref,
     z = z_ref[:]
     bm = bm_ref[:]
     # phase = (ro + rd*z) @ B without materializing pts in a narrow
-    # concat: B applied to the ro lanes + (B shifted to the rd lanes)*z
-    phase = (jnp.dot(raysb, bm[0:8], preferred_element_type=jnp.float32)
-             + jnp.dot(raysb, bmd_ref[:],
-                       preferred_element_type=jnp.float32) * z)
+    # concat: B applied to the ro lanes + (B shifted to the rd lanes)*z.
+    # exact (sweep_dtype='float32'): true-f32 phase too — the default
+    # dot would round ray origins/dirs to bf16 (see _sdf_layers)
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    phase = (jnp.dot(raysb, bm[0:8], preferred_element_type=jnp.float32,
+                     precision=prec)
+             + jnp.dot(raysb, bmd_ref[:], preferred_element_type=jnp.float32,
+                       precision=prec) * z)
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
     h = _sdf_layers(meta, n_lin, ws, bs, emb, act)
@@ -300,7 +315,8 @@ def make_fused_sdf_rays_fn(params: dict, cfg: SDFConfig, tile_pts: int = 1024,
         rays3 = rays.reshape(G, Rt, 8)
         z_pt = z.reshape(R_pad * S, 1)
 
-        kernel = partial(_sdf_rays_kernel, meta, n_lin, S, act)
+        kernel = partial(_sdf_rays_kernel, meta, n_lin, S, act,
+                         dtype != "bfloat16")
         in_specs = [
             pl.BlockSpec((1, Rt, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -350,8 +366,8 @@ def make_xla_sdf_rays_fn(params: dict, cfg: SDFConfig,
         R, S = z.shape
         pts = (rays_o[:, None, :]
                + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
-        phase = jnp.dot(pts, bm[0:3],
-                        preferred_element_type=jnp.float32)
+        phase = jnp.dot(pts, bm[0:3], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
                + jnp.cos(phase) * bm[10:11])
         h = _sdf_layers(meta, n_lin, ws, bs, emb, act)

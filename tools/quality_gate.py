@@ -74,8 +74,17 @@ def main():
         if sweep_dt:
             r["SWEEP_DTYPE"] = sweep_dt
         cfg.freeze()
-    tag = "_".join(x for x in (fused or "auto", prec, sweep_act, sweep_dt)
-                   if x)
+    # QG_MATMUL=highest: run the WHOLE arm under true-f32 XLA matmuls.
+    # TPU's default f32 matmul rounds operands to bf16 (single MXU
+    # pass), so the plain QG_FUSED=off arm is an "XLA default-precision"
+    # baseline, NOT a true-f32 oracle; this knob provides the latter.
+    matmul = os.environ.get("QG_MATMUL", "")
+    if matmul:
+        # whole-process scope (train + render + mesh): entered and never
+        # exited on purpose — the tool prints one verdict and exits
+        jax.default_matmul_precision(matmul).__enter__()
+    tag = "_".join(x for x in (fused or "auto", prec, sweep_act, sweep_dt,
+                               matmul) if x)
     loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{tag}",
                      require_clean_git=False)
     loop.run()
@@ -118,6 +127,8 @@ def main():
         "fused": fused or "auto",
         "march_bwd_precision": prec or "bf16",
         "sweep_activation": sweep_act or "softplus",
+        "sweep_dtype": sweep_dt or "bfloat16",
+        "matmul_precision": matmul or "default",
         "platform": jax.devices()[0].platform,
         "psnr": round(p, 2), "ssim": round(s, 4),
         "n_verts": int(len(verts)), "n_tris": int(len(tris)),
