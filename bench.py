@@ -22,11 +22,17 @@ to vs_baseline >= 5.
 Note the bench scene is random-noise images + a disc mask (throughput
 only — the importance sampler sees a synthetic SDF, which does not
 affect the FLOP count or memory traffic of the step).
+
+tools/bench_ab.py reuses build_bench()/time_step() to time two config
+arms INTERLEAVED in one process — the chip's clock/thermal state drifts
+by several % between separate invocations, which confounds sub-5%
+A/B deltas measured the naive way.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -34,28 +40,21 @@ import numpy as np
 BASELINE_RAYS_PER_S = 2560.0  # estimated A100 PyTorch, 512 samples/ray
 
 
-def main():
+def build_bench(n_rays: int, k_steps: int, *, ray_chunk=0, march_acts="save",
+                march_tile=0, sweep_act="softplus", bwd_prec="bf16",
+                donate=True):
+    """Build the flagship bench step: returns (step_fn, args, flops_per_step).
+
+    step_fn(state, *args) -> (state, aux); args = (scene, images, masks,
+    base_key). flops_per_step counts the padded model GEMMs (march
+    fwd+bwd + hierarchy SDF sweeps) for ONE optimizer step at n_rays.
+    """
     import jax
     import jax.numpy as jnp
     from color_neus_tpu.models.configs import RendererConfig, ColorConfig
     from color_neus_tpu.models.camera import CameraConfig
     from color_neus_tpu.models import trainer as TR
 
-    # 2048 rays x 512 samples with the saved-activations backward is the
-    # measured single-chip throughput peak. The stash's f32 gate plane
-    # is gone (gates rebuild from the stored softplus outputs in the
-    # backward kernel: ~11 KB/pt), so batches that OOM'd at the round-2
-    # stash size now fit; recompute at any batch plateaus ~14% lower.
-    n_rays = int(__import__("os").environ.get("BENCH_N_RAYS", 2048))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", 20))
-
-    # fused kernels keep activations in VMEM, so remat chunking is pure
-    # overhead at this size — unchunked by default
-    ray_chunk = int(__import__("os").environ.get("BENCH_RAY_CHUNK", 0))
-    march_acts = __import__("os").environ.get("BENCH_MARCH_ACTS", "save")
-    march_tile = int(__import__("os").environ.get("BENCH_MARCH_TILE", 0))
-    sweep_act = __import__("os").environ.get("BENCH_SWEEP_ACT", "softplus")
-    bwd_prec = __import__("os").environ.get("BENCH_BWD_PREC", "bf16")
     rcfg = RendererConfig(
         kind="color_neus",
         n_samples=256, n_importance=256, up_sample_steps=4,
@@ -82,7 +81,8 @@ def main():
         z /= np.linalg.norm(z)
         poses[i, :3, 3] = -2.5 * z
         # look-at rotation: camera z-axis toward origin
-        up = np.asarray([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9 else np.asarray([0.0, 1.0, 0.0])
+        up = (np.asarray([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9
+              else np.asarray([0.0, 1.0, 0.0]))
         x = np.cross(up, z)
         x /= np.linalg.norm(x)
         y = np.cross(z, x)
@@ -91,33 +91,20 @@ def main():
 
     images = jnp.asarray(rng.rand(n_cams, H, W, 3), jnp.float32)
     yy, xx = np.mgrid[0:H, 0:W]
-    blob = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2) < (H / 3) ** 2).astype(np.float32)
+    blob = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2)
+            < (H / 3) ** 2).astype(np.float32)
     masks = jnp.asarray(np.tile(blob[None], (n_cams, 1, 1)))
 
-    # K steps per dispatch (lax.scan) amortizes tunnel launch latency;
-    # timing uses an explicit host fetch — block_until_ready does not
-    # truly sync on the tunneled platform.
-    k_steps = int(__import__("os").environ.get("BENCH_K_STEPS", 40))
-    step_fn = TR.make_train_multi_step(cfg, n_cams, n_cams, k_steps, donate=True)
+    # K steps per dispatch (lax.scan) amortizes tunnel launch latency.
+    # The A/B tool passes donate=False so the SAME state feeds every
+    # timing round (throughput is state-blind); the headline bench keeps
+    # donate=True and threads state, its original conditions.
+    step_fn = TR.make_train_multi_step(cfg, n_cams, n_cams, k_steps,
+                                       donate=donate)
 
-    base_key = jax.random.PRNGKey(1)
-    state, aux = step_fn(state, scene, images, masks, base_key)  # compile
-    _ = float(aux["loss"])
-
-    times = []
-    for i in range(max(iters // k_steps, 3)):
-        t0 = time.perf_counter()
-        state, aux = step_fn(state, scene, images, masks, base_key)
-        _ = float(aux["loss"])
-        times.append(time.perf_counter() - t0)
-
-    dt = float(np.median(times))
-    rays_per_s = n_rays * k_steps / dt
-
-    # ---- model-GEMM FLOP accounting (VERDICT r2 #9): TFLOP/s and
-    # %-of-peak next to rays/s so perf claims are hardware-normalized.
-    # Counts the padded MXU GEMMs of the march fwd+bwd kernels and the
-    # hierarchy's SDF sweeps; VPU/elementwise work excluded.
+    # ---- model-GEMM FLOP accounting (VERDICT r2 #9): padded MXU GEMMs
+    # of the march fwd+bwd kernels + the hierarchy's SDF sweeps; VPU /
+    # elementwise work excluded.
     from color_neus_tpu.ops.pallas.ray_march import (
         march_gemm_flops_per_point, resolve_save_acts)
     from color_neus_tpu.ops.pallas.point_pipeline import (
@@ -136,9 +123,51 @@ def main():
     sweep_pts = rcfg.n_samples + (rcfg.up_sample_steps - 1) * m
     flops_per_step = n_rays * (S_total * (f_fwd + f_bwd)
                                + sweep_pts * f_sweep)
+
+    base_key = jax.random.PRNGKey(1)
+    return step_fn, (state, scene, images, masks, base_key), flops_per_step
+
+
+def time_step(step_fn, args, rounds: int, *, thread_state=True):
+    """One compile + `rounds` timed dispatches; returns per-dispatch
+    seconds (each dispatch = k_steps optimizer steps). Timing uses an
+    explicit host fetch — block_until_ready does not truly sync on the
+    tunneled platform. thread_state=True feeds each round the previous
+    round's state (required under donation); =False re-feeds the initial
+    state (required for interleaved A/B arms sharing one state)."""
+    state, scene, images, masks, base_key = args
+    st, aux = step_fn(state, scene, images, masks, base_key)  # compile
+    _ = float(aux["loss"])
+    times = []
+    cur = st if thread_state else state
+    for _i in range(rounds):
+        t0 = time.perf_counter()
+        out, aux = step_fn(cur, scene, images, masks, base_key)
+        _ = float(aux["loss"])
+        times.append(time.perf_counter() - t0)
+        if thread_state:
+            cur = out
+    return times
+
+
+def main():
+    n_rays = int(os.environ.get("BENCH_N_RAYS", 2048))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    k_steps = int(os.environ.get("BENCH_K_STEPS", 40))
+    step_fn, args, flops_per_step = build_bench(
+        n_rays, k_steps,
+        ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)),
+        march_acts=os.environ.get("BENCH_MARCH_ACTS", "save"),
+        march_tile=int(os.environ.get("BENCH_MARCH_TILE", 0)),
+        sweep_act=os.environ.get("BENCH_SWEEP_ACT", "softplus"),
+        bwd_prec=os.environ.get("BENCH_BWD_PREC", "bf16"),
+    )
+    times = time_step(step_fn, args, max(iters // k_steps, 3))
+    dt = float(np.median(times))
+    rays_per_s = n_rays * k_steps / dt
     tflops = flops_per_step * k_steps / dt / 1e12
     # v5e bf16 MXU peak; override for other chips (v5p: 459)
-    peak = float(__import__("os").environ.get("BENCH_PEAK_TFLOPS", 197.0))
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
     print(json.dumps({
         "metric": "rays_per_s_per_chip_fwd_bwd_512spp",
         "value": round(rays_per_s, 1),
