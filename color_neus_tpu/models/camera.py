@@ -81,4 +81,6 @@ def pose_apply(params: dict, cfg: CameraConfig, init_c2w: jnp.ndarray, cam_ids: 
         t = jax.lax.stop_gradient(t)
     R = aa_to_rotmat(r) if cfg.pose_mode == "3d" else rot6d_to_rotmat(r)
     delta = convert3x4_4x4(jnp.concatenate([R, t[..., None]], axis=-1))
-    return delta @ init_c2w[cam_ids]
+    # HIGHEST: bf16-rounded pose products are real geometry error
+    return jnp.matmul(delta, init_c2w[cam_ids],
+                      precision=jax.lax.Precision.HIGHEST)

@@ -48,7 +48,10 @@ def rays_for_pixels(c2w, focal, px, py, H, W, normalize=False, opengl=False):
     coords (x = column, y = row). Returns (rays_o, rays_d) each [R, 3].
     """
     dirs = _cam_dirs(px, py, focal, H, W, normalize, opengl, c2w.dtype)  # [R,3]
-    rays_d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs)
+    # HIGHEST: default f32 contractions round operands to bf16 on TPU
+    # (~4e-3 relative) — real geometry error on ray directions
+    rays_d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs,
+                        precision=jax.lax.Precision.HIGHEST)
     rays_o = c2w[:, :3, 3]
     return rays_o, rays_d
 
@@ -60,7 +63,8 @@ def all_rays_for_camera(c2w, focal, H, W, normalize=False, opengl=False):
     """
     py, px = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     dirs = _cam_dirs(px, py, focal, H, W, normalize, opengl, c2w.dtype)  # [H,W,3]
-    rays_d = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs)
+    rays_d = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], dirs,
+                        precision=jax.lax.Precision.HIGHEST)
     rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     return rays_o, rays_d
 

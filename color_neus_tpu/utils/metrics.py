@@ -106,7 +106,13 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 1.0,
 
     def filt(x):  # x [H, W, C] -> valid-window local means
         x = jnp.transpose(x, (2, 0, 1))[:, None]  # [C,1,H,W]
-        y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
+        # HIGHEST: TPU's default f32 conv rounds operands to bf16; the
+        # resulting noise in E[x^2]-mu^2 (catastrophic cancellation on
+        # near-constant windows) pushed measured SSIM above 1.0 on
+        # high-PSNR renders. The reference's kornia SSIM runs true-f32
+        # CUDA convs (similarity.py:31-52) — match it.
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST)
         return y[:, 0]
 
     img1 = jnp.asarray(img1, jnp.float32)
