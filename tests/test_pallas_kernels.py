@@ -196,3 +196,39 @@ def test_sweep_relu_fused_matches_xla_twin(key):
     np.testing.assert_allclose(np.asarray(fn(ro, rd, z)), np.asarray(xla),
                                atol=1e-6)
     assert resolve_sdf_sweep_fn(params, cfg, "auto") is None  # CPU softplus
+
+
+def test_f32_dots_request_highest_precision(key):
+    """Regression guard for the round-4 precision discovery: TPU's
+    DEFAULT f32 matmul (XLA and Mosaic alike) rounds operands to bf16,
+    so every dot on an f32-exactness surface must carry an explicit
+    Precision.HIGHEST. CPU execution cannot discriminate (its dots are
+    always true f32), so assert at the jaxpr level instead: trace
+    _sdf_layers with f32 vs bf16 weights and check the recorded dot
+    precisions."""
+    from color_neus_tpu.ops.pallas.sdf_mlp import _sdf_layers, \
+        pack_sdf_weights
+
+    cfg = SDFConfig(d_hidden=64, n_layers=3, skip_in=(), multires=4)
+    params = fields.init_sdf(key, cfg)
+    ws, bs, meta = pack_sdf_weights(params, cfg)
+    emb = jnp.zeros((8, meta["d0p"]), jnp.float32)
+
+    def dot_precisions(ws_):
+        # trace under an ambient DEFAULT scope: the production entry
+        # points run without any default_matmul_precision override
+        # (conftest's global 'highest' would mask a missing pin)
+        with jax.default_matmul_precision("default"):
+            jaxpr = jax.make_jaxpr(
+                lambda e: _sdf_layers(meta, meta["n_lin"], ws_, bs, e))(emb)
+        return [e.params.get("precision")
+                for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+
+    f32_precs = dot_precisions(ws)
+    assert f32_precs, "no dots traced"
+    assert all(p is not None and "HIGHEST" in str(p) for p in f32_precs), \
+        f32_precs
+
+    bf_precs = dot_precisions(tuple(w.astype(jnp.bfloat16) for w in ws))
+    assert all(p is None or "HIGHEST" not in str(p) for p in bf_precs), \
+        bf_precs
