@@ -415,7 +415,9 @@ def pe_bases(rcfg: RendererConfig):
 
 def _encode(pin, bm):
     """In-kernel PE: pin [T, 8], bm [16, dp] -> (emb [T, dp], phase)."""
-    phase = jnp.dot(pin, bm[0:8], preferred_element_type=jnp.float32)
+    # HIGHEST: positional data — default would round pin to bf16
+    phase = jnp.dot(pin, bm[0:8], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
     return emb, phase
@@ -425,7 +427,8 @@ def _encode_vjp(phase, bm, emb_hat):
     """Pullback of _encode to the packed input lanes: [T, 8]."""
     J = bm[8:9] + jnp.cos(phase) * bm[9:10] - jnp.sin(phase) * bm[10:11]
     return jax.lax.dot_general(emb_hat * J, bm[0:8], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -440,8 +443,13 @@ def _kdot(a, b, bf16):
     would make the "f32" parity/audit modes silently identical to bf16
     (measured bit-identical on chip — see sdf_mlp._sdf_layers)."""
     if bf16:
+        # explicit DEFAULT: an ambient default_matmul_precision('highest')
+        # scope (grad_audit's oracle) would otherwise attach
+        # contract_precision<fp32> to bf16 operands, which Mosaic
+        # rejects ("Bad lhs type" — the queue-2/3 gate crash)
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
@@ -453,7 +461,7 @@ def _kdot_b(a, b, bf16):
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=(None if bf16
+                               precision=(jax.lax.Precision.DEFAULT if bf16
                                           else jax.lax.Precision.HIGHEST))
 
 
@@ -1118,7 +1126,8 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     # degenerate: u_{L-1} only enters via a column-0 rank-1 update and
     # u_bar_{L-1} is just a broadcast weight column.
     phase_t = jnp.dot(grad_hat, bm_e[0:3],
-                      preferred_element_type=jnp.float32)     # [T, d0p]
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)     # [T, d0p]
     J_e = (bm_e[8:9] + jnp.cos(phase_e) * bm_e[9:10]
            - jnp.sin(phase_e) * bm_e[10:11])
     v0 = phase_t * J_e                                  # d emb . grad_hat
@@ -1197,7 +1206,8 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     dJ = (-jnp.sin(phase_e) * bm_e[9:10] - jnp.cos(phase_e) * bm_e[10:11])
     pin_hat = pin_hat + jax.lax.dot_general(
         v0_hat * phase_t * dJ, bm_e[0:8], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     if meta.has_dirs_c:
         pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat)
     if meta.n_relight > 0:

@@ -108,7 +108,13 @@ def _seg_sum(seg, x):
     tree reduce; tests cover both)."""
     if seg.shape[0] == 1:
         return jnp.sum(x, axis=0, keepdims=True)
-    return jnp.dot(seg, x, preferred_element_type=jnp.float32)
+    # HIGHEST: seg is 0/1 (exact in any dtype) but DEFAULT would round
+    # the PAYLOAD operand to bf16 — compositing partials and positional
+    # data ride this. Rt is tiny, so the extra passes are fill/drain
+    # noise. Also keeps Rt>1 bit-comparable with the Rt==1 VPU path's
+    # f32 reduction, as the docstring promises.
+    return jnp.dot(seg, x, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _seg_bcast(seg, y):
@@ -116,7 +122,8 @@ def _seg_bcast(seg, y):
     if seg.shape[0] == 1:
         return jnp.broadcast_to(y, (seg.shape[1], y.shape[1]))
     return jax.lax.dot_general(seg, y, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

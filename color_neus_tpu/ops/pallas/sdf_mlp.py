@@ -140,8 +140,11 @@ def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
         if kind == "skip":
             # zero-pad h to the aligned skip width, then append emb
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
+        # explicit DEFAULT on the bf16 branch: ambient 'highest'
+        # scopes must not reach kernel dots (Mosaic rejects
+        # contract_precision<fp32> on bf16 operands)
         prec = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
-                else None)
+                else jax.lax.Precision.DEFAULT)
         h = (jnp.dot(h.astype(w.dtype), w,
                      preferred_element_type=jnp.float32,
                      precision=prec) + bs[l][:])
@@ -191,7 +194,8 @@ def _sdf_rays_kernel(meta, n_lin, S, act, exact, rays_ref, z_ref, bm_ref,
     # concat: B applied to the ro lanes + (B shifted to the rd lanes)*z.
     # exact (sweep_dtype='float32'): true-f32 phase too — the default
     # dot would round ray origins/dirs to bf16 (see _sdf_layers)
-    prec = jax.lax.Precision.HIGHEST if exact else None
+    prec = (jax.lax.Precision.HIGHEST if exact
+            else jax.lax.Precision.DEFAULT)
     phase = (jnp.dot(raysb, bm[0:8], preferred_element_type=jnp.float32,
                      precision=prec)
              + jnp.dot(raysb, bmd_ref[:], preferred_element_type=jnp.float32,

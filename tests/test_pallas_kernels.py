@@ -232,3 +232,26 @@ def test_f32_dots_request_highest_precision(key):
     bf_precs = dot_precisions(tuple(w.astype(jnp.bfloat16) for w in ws))
     assert all(p is None or "HIGHEST" not in str(p) for p in bf_precs), \
         bf_precs
+
+    # the bf16 branch must PIN DEFAULT (not inherit): under an ambient
+    # 'highest' scope — the grad audit wraps its whole comparison in
+    # one — an unpinned bf16 dot picks up contract_precision<fp32>,
+    # which Mosaic rejects on bf16 operands ("Bad lhs type": the
+    # round-4 on-chip gate crash). Same check for the march kernels'
+    # _kdot/_kdot_b.
+    from color_neus_tpu.ops.pallas.point_pipeline import _kdot, _kdot_b
+    with jax.default_matmul_precision("highest"):
+        jx = jax.make_jaxpr(
+            lambda e: _sdf_layers(
+                meta, meta["n_lin"],
+                tuple(w.astype(jnp.bfloat16) for w in ws), bs, e))(emb)
+        precs = [e.params.get("precision") for e in jx.jaxpr.eqns
+                 if e.primitive.name == "dot_general"]
+        assert all(p is not None and "DEFAULT" in str(p) for p in precs), precs
+        a = jnp.zeros((8, 64), jnp.float32)
+        b = jnp.zeros((64, 32), jnp.float32)
+        for fn in (lambda: _kdot(a, b, True), lambda: _kdot_b(a, a, True)):
+            jx = jax.make_jaxpr(fn)()
+            precs = [e.params.get("precision") for e in jx.jaxpr.eqns
+                     if e.primitive.name == "dot_general"]
+            assert all("DEFAULT" in str(p) for p in precs), precs
