@@ -108,22 +108,26 @@ def _seg_sum(seg, x):
     tree reduce; tests cover both)."""
     if seg.shape[0] == 1:
         return jnp.sum(x, axis=0, keepdims=True)
-    # HIGHEST: seg is 0/1 (exact in any dtype) but DEFAULT would round
-    # the PAYLOAD operand to bf16 — compositing partials and positional
-    # data ride this. Rt is tiny, so the extra passes are fill/drain
-    # noise. Also keeps Rt>1 bit-comparable with the Rt==1 VPU path's
-    # f32 reduction, as the docstring promises.
-    return jnp.dot(seg, x, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    # Rt > 1: exact f32 without the MXU. An MXU dot at DEFAULT rounds
+    # the PAYLOAD operand to bf16 (compositing partials and positional
+    # data ride this), and 6-passing it at HIGHEST is fill/drain waste
+    # for a K=T contraction. Segments are CONTIGUOUS (seg[r,i] =
+    # (i//S==r)), so reshape + mid-axis reduce is the same sum, exact,
+    # fully vectorized on the VPU.
+    Rt, T = seg.shape
+    S = T // Rt
+    return jnp.sum(x.reshape(Rt, S, x.shape[1]), axis=1)
 
 
 def _seg_bcast(seg, y):
-    """[Rt, T]^T @ [Rt, d] -> [T, d]; Rt == 1 is a plain broadcast."""
+    """[Rt, T]^T @ [Rt, d] -> [T, d]; Rt == 1 is a plain broadcast.
+    Rt > 1: broadcast + collapse (exact f32 — see _seg_sum)."""
     if seg.shape[0] == 1:
         return jnp.broadcast_to(y, (seg.shape[1], y.shape[1]))
-    return jax.lax.dot_general(seg, y, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    Rt, T = seg.shape
+    S = T // Rt
+    d = y.shape[1]
+    return jnp.broadcast_to(y[:, None], (Rt, S, d)).reshape(T, d)
 
 
 # ---------------------------------------------------------------------------
