@@ -41,7 +41,7 @@ BASELINE_RAYS_PER_S = 2560.0  # estimated A100 PyTorch, 512 samples/ray
 
 
 def build_bench(n_rays: int, k_steps: int, *, ray_chunk=0, march_acts="save",
-                march_tile=0, sweep_act="softplus", bwd_prec="bf16",
+                march_tile=0, sweep_act="softplus", bwd_prec="f32stash",
                 donate=True):
     """Build the flagship bench step: returns (step_fn, args, flops_per_step).
 
@@ -160,7 +160,7 @@ def main():
         march_acts=os.environ.get("BENCH_MARCH_ACTS", "save"),
         march_tile=int(os.environ.get("BENCH_MARCH_TILE", 0)),
         sweep_act=os.environ.get("BENCH_SWEEP_ACT", "softplus"),
-        bwd_prec=os.environ.get("BENCH_BWD_PREC", "bf16"),
+        bwd_prec=os.environ.get("BENCH_BWD_PREC", "f32stash"),
     )
     times = time_step(step_fn, args, max(iters // k_steps, 3))
     dt = float(np.median(times))

@@ -102,17 +102,24 @@ class RendererConfig:
     march_tile: int = 0
     # HBM budget (GB) the march_acts='auto' policy allows the saved-
     # activation stash before falling back to the recompute backward
-    march_stash_budget_gb: float = 10.0
+    march_stash_budget_gb: float = 13.5
     # precision of the SDF chain inside the fused kernels (the bf16
     # rounding budget of the second-order eikonal path — the worst
     # grad-audit leaf lives here, reports/grad_audit.json):
-    #   bf16     - production default: bf16 stores + bf16 MXU dots
-    #   f32stash - f32 activation stores (Xs/Us/Zs + exported SX stash,
-    #              exact softplus gates); dots stay bf16
+    #   f32stash - PRODUCTION DEFAULT (round 4): f32 activation stores
+    #              (Xs/Us/Zs + exported SX stash, exact softplus
+    #              gates); dots stay bf16. Measured FREE on the bench
+    #              chip (+0.5%, stash DMA fully overlapped:
+    #              reports/r4/ab_prec_f32stash.json) and closes the 5k
+    #              fused-vs-XLA quality gap from 2.74 dB to 0.27 dB
+    #              (reports/r4/qg5k_fused_f32stash.json)
+    #   bf16     - bf16 stores + bf16 MXU dots: halves stash HBM
+    #              traffic/size; use when march_stash_budget_gb would
+    #              force recompute mode at very large ray batches
     #   f32      - additionally f32 SDF weights and f32 dots through the
     #              whole SDF value/gradient/second-order chain
     # color/relight chains stay bf16 in all modes (grad err < 0.4%).
-    march_bwd_precision: str = "bf16"
+    march_bwd_precision: str = "f32stash"
     # dtype of the no-grad SDF sweep dots that PLACE importance samples
     # (hierarchical_z_vals): bfloat16 (fast, default) or float32
     sweep_dtype: str = "bfloat16"
@@ -169,8 +176,9 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         fused_tile=_lower_get(rcfg, "FUSED_TILE", 512),
         march_acts=_lower_get(rcfg, "MARCH_ACTS", "auto"),
         march_tile=_lower_get(rcfg, "MARCH_TILE", 0),
-        march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 10.0),
-        march_bwd_precision=_lower_get(rcfg, "MARCH_BWD_PRECISION", "bf16"),
+        march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 13.5),
+        march_bwd_precision=_lower_get(rcfg, "MARCH_BWD_PRECISION",
+                                       "f32stash"),
         sweep_dtype=_lower_get(rcfg, "SWEEP_DTYPE", "bfloat16"),
         sweep_activation=_lower_get(rcfg, "SWEEP_ACTIVATION", "softplus"),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),

@@ -545,7 +545,11 @@ def default_tile_rays(S: int) -> int:
 # stash competes with params/optimizer/batch for the chip's HBM (v5e:
 # 16 GB); 10 GB covers every realistic training batch (512 rays x 128
 # samples ~ 1 GB) while refusing bench-scale extremes that OOM.
-_STASH_BUDGET_GB = 10.0
+# 13.5: the f32stash default's 13.0 GB stash at the 2048x512 bench
+# shape runs measurably FASTER than bf16-stash save mode on the 16 GB
+# v5e (reports/r4/ab_prec_f32stash.json) — don't let 'auto' kick it to
+# the ~20%-slower recompute backward
+_STASH_BUDGET_GB = 13.5
 
 
 def march_gemm_flops_per_point(meta, save_acts: bool):
@@ -588,7 +592,7 @@ def resolve_save_acts(policy, meta, n_pts: int,
 
     'save'/'recompute' are explicit; 'auto' (the default) saves when the
     activation stash fits the HBM budget (the march_stash_budget_gb
-    config field; env MARCH_STASH_BUDGET_GB overrides, default 10) —
+    config field; env MARCH_STASH_BUDGET_GB overrides, default 13.5) —
     measured +16% step throughput when it fits — and falls back to the
     recompute backward when it would not.
     """
