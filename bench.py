@@ -42,7 +42,7 @@ BASELINE_RAYS_PER_S = 2560.0  # estimated A100 PyTorch, 512 samples/ray
 
 def build_bench(n_rays: int, k_steps: int, *, ray_chunk=0, march_acts="save",
                 march_tile=0, sweep_act="softplus", bwd_prec="f32stash",
-                donate=True):
+                thin_dots="hilo", donate=True):
     """Build the flagship bench step: returns (step_fn, args, flops_per_step).
 
     step_fn(state, *args) -> (state, aux); args = (scene, images, masks,
@@ -60,6 +60,7 @@ def build_bench(n_rays: int, k_steps: int, *, ray_chunk=0, march_acts="save",
         n_samples=256, n_importance=256, up_sample_steps=4,
         ray_chunk=ray_chunk, march_acts=march_acts, march_tile=march_tile,
         sweep_activation=sweep_act, march_bwd_precision=bwd_prec,
+        thin_dots=thin_dots,
         color=ColorConfig(mode="no_view_dir", d_in=6, multires_view=0),
     )
     H = W = 256
@@ -161,6 +162,7 @@ def main():
         march_tile=int(os.environ.get("BENCH_MARCH_TILE", 0)),
         sweep_act=os.environ.get("BENCH_SWEEP_ACT", "softplus"),
         bwd_prec=os.environ.get("BENCH_BWD_PREC", "f32stash"),
+        thin_dots=os.environ.get("BENCH_THIN_DOTS", "hilo"),
     )
     times = time_step(step_fn, args, max(iters // k_steps, 3))
     dt = float(np.median(times))

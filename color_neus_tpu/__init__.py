@@ -32,12 +32,21 @@ import os as _os
 
 import jax as _jax
 
-_cc = _os.environ.get("CN_TPU_COMPILE_CACHE", "")
-if _cc != "0" and _jax.config.jax_compilation_cache_dir is None:
-    try:
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _cc or _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                                 _os.pardir, ".jax_cache"))
-    except Exception:  # cache is an optimization, never a hard dependency
-        pass
+try:
+    _cc = _os.environ.get("CN_TPU_COMPILE_CACHE", "")
+    if _cc != "0" and _jax.config.jax_compilation_cache_dir is None:
+        # repo-adjacent dir when writable (the dev/bench layout);
+        # otherwise a user cache dir (e.g. if the package were
+        # installed into site-packages — ADVICE r4)
+        _dir = _cc or _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            _os.pardir, ".jax_cache")
+        if not _cc:
+            _parent = _os.path.dirname(_os.path.abspath(_dir))
+            if not _os.access(_parent, _os.W_OK):
+                _dir = _os.path.join(
+                    _os.path.expanduser("~"), ".cache", "color_neus_tpu",
+                    "jax")
+        _jax.config.update("jax_compilation_cache_dir", _dir)
+except Exception:  # cache is an optimization, never a hard dependency
+    pass

@@ -120,6 +120,32 @@ class RendererConfig:
     #              whole SDF value/gradient/second-order chain
     # color/relight chains stay bf16 in all modes (grad err < 0.4%).
     march_bwd_precision: str = "f32stash"
+    # strategy for the fused kernels' thin f32 dots (PE encode/pullback
+    # K<=8 contractions + the f32 layer-0 dW dots) — the round-5
+    # throughput recovery (reports/r5/ab_thin_*.json, paired A/B):
+    #   hilo  - PRODUCTION DEFAULT: PE dots as 2 single-pass bf16 dots
+    #           (data operand hi/lo-split; every pe_basis entry is
+    #           3*2^k / 1*2^k / 0 = bf16-EXACT, so only the data needs
+    #           splitting — phase error ~2^-17 vs bf16's 2^-8), and the
+    #           f32 layer-0 dW dots as 2-pass hi/lo splits.
+    #           +7.7% over 'mxu' (x1.0215 split, x1.0542 encode).
+    #   mxu   - round-4 Precision.HIGHEST 6-pass MXU dots everywhere
+    #           (exact f32; the quality-parity A/B reference arm)
+    #   split - layer-0 dW hi/lo split only, PE dots HIGHEST (+2.15%)
+    #   enc   - PE dots as exact-f32 VPU FMAs/lane reductions, dW
+    #           HIGHEST (measured SLOWER on v5e: sublane broadcasts)
+    #   vpu   - enc + split combined (-3.4% vs mxu; kept for A/B)
+    # Interpret/oracle runs and march_bwd_precision='f32' always use
+    # exact-f32 'highest' encode regardless (point_pipeline._enc_mode).
+    thin_dots: str = "hilo"
+    # mesh-extraction grid-eval dot precision (ops/mesh.py /
+    # ops/pallas/sdf_mlp.make_fused_sdf_fn):
+    #   f32   - 6-pass HIGHEST, matches the f32 XLA oracle to fma
+    #           reassociation (the eval_fused gate arm; default)
+    #   f32x3 - 3-pass HIGH: drops only the lo*lo product (~2^-16
+    #           relative — a 512^3 voxel is 5e-3), ~2x the dot rate
+    #   bf16  - single-pass preview (~1e-2 SDF error)
+    extract_precision: str = "f32"
     # dtype of the no-grad SDF sweep dots that PLACE importance samples
     # (hierarchical_z_vals): bfloat16 (fast, default) or float32
     sweep_dtype: str = "bfloat16"
@@ -141,6 +167,24 @@ class RendererConfig:
     relight: RelightConfig = field(default_factory=RelightConfig)
     variance: VarianceConfig = field(default_factory=VarianceConfig)
     nerf: NeRFConfig = field(default_factory=NeRFConfig)
+
+    def __post_init__(self):
+        # typo-proof the enum-valued knobs (ADVICE r4: a march_bwd_precision
+        # typo like 'f32_stash' silently selected f32stash-like behavior)
+        _enums = {
+            "march_bwd_precision": ("bf16", "f32stash", "f32"),
+            "thin_dots": ("hilo", "mxu", "vpu", "split", "enc"),
+            "extract_precision": ("f32", "f32x3", "bf16"),
+            "sweep_dtype": ("bfloat16", "float32"),
+            "sweep_activation": ("softplus", "relu"),
+            "march_acts": ("auto", "save", "recompute"),
+            "kind": ("neus", "color_neus"),
+        }
+        for name, allowed in _enums.items():
+            v = getattr(self, name)
+            if v not in allowed:
+                raise ValueError(
+                    f"RendererConfig.{name}={v!r} not in {allowed}")
 
 
 def _lower_get(d: dict, key: str, default):
@@ -179,6 +223,8 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
         march_stash_budget_gb=_lower_get(rcfg, "MARCH_STASH_BUDGET_GB", 13.5),
         march_bwd_precision=_lower_get(rcfg, "MARCH_BWD_PRECISION",
                                        "f32stash"),
+        thin_dots=_lower_get(rcfg, "THIN_DOTS", "hilo"),
+        extract_precision=_lower_get(rcfg, "EXTRACT_PRECISION", "f32"),
         sweep_dtype=_lower_get(rcfg, "SWEEP_DTYPE", "bfloat16"),
         sweep_activation=_lower_get(rcfg, "SWEEP_ACTIVATION", "softplus"),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),

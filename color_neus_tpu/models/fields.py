@@ -237,8 +237,11 @@ def init_variance(cfg: VarianceConfig, dtype=jnp.float32) -> dict:
 
 
 def variance_inv_s(params: dict) -> jnp.ndarray:
-    """Scalar inv_s = exp(10 * v), clipped like NeuS.py:234."""
-    return jnp.clip(jnp.exp(params["variance"] * 10.0), 1e-6, 1e6)
+    """Scalar inv_s = exp(10 * v) — the learned deviation, UNclipped,
+    exactly like the reference's SingleVarianceNetwork.forward
+    (fields.py:286). (The reference clips only the FIXED 64*2^i inv_s
+    of its up_sample path, NeuS.py:234 — not this learned one.)"""
+    return jnp.exp(params["variance"] * 10.0)
 
 
 # ---------------------------------------------------------------------------

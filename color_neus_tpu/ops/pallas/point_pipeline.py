@@ -204,6 +204,11 @@ class PMeta:
     # SDF-chain precision: 'bf16' | 'f32stash' | 'f32'
     # (RendererConfig.march_bwd_precision; see _sdf_bf/_sdf_store)
     sdf_prec: str = "bf16"
+    # Thin-dot strategy: 'vpu' computes the K<=8 / 8-lane-out PE dots
+    # as exact-f32 VPU FMAs / lane reductions and the f32 layer-0 dW
+    # dots as 2-pass bf16 hi+lo splits; 'mxu' keeps the round-4
+    # Precision.HIGHEST 6-pass MXU dots (the A/B reference arm).
+    thin: str = "vpu"
 
     @property
     def has_dirs_c(self) -> bool:
@@ -264,7 +269,8 @@ def pack_pipeline_weights(dense: dict, rcfg: RendererConfig):
             "n_relight": (rcfg.relight.n_layers + 1) if rcfg.kind == "color_neus" else 0,
             "y_in": rcfg.relight.y_in_layer,
             "feat_dim": sdf.d_out - 1,
-            "sdf_prec": rcfg.march_bwd_precision}
+            "sdf_prec": rcfg.march_bwd_precision,
+            "thin": rcfg.thin_dots}
 
     # ---- sdf ----
     prev_p = d0p
@@ -413,22 +419,100 @@ def pe_bases(rcfg: RendererConfig):
     return bm_e, bm_c, bm_r
 
 
-def _encode(pin, bm):
-    """In-kernel PE: pin [T, 8], bm [16, dp] -> (emb [T, dp], phase)."""
-    # HIGHEST: positional data — default would round pin to bf16
-    phase = jnp.dot(pin, bm[0:8], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+def _hilo(x):
+    """f32 -> (hi, lo) bf16 pair with x == hi + lo to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _encode(pin, bm, mode="highest", lanes=None):
+    """In-kernel PE: pin [T, 8], bm [16, dp] -> (emb [T, dp], phase).
+
+    Positional data must NOT round to bf16 (the top PE band phase error
+    would reach ~0.77 rad — ARCHITECTURE.md "Precision policy"). Three
+    formulations:
+      'highest' 6-pass Precision.HIGHEST MXU dot (exact f32)
+      'hilo'    2 single-pass DEFAULT dots: pin split into bf16 hi+lo;
+                EVERY pe_basis entry is 3*2^k, 1*2^k or 0 — exactly
+                bf16-representable — so only the data operand needs the
+                split. Phase error ~2^-17 relative (vs bf16's 2^-8),
+                below the bf16 weight-dot noise of every consumer.
+      'vpu'     the 3 nonzero basis rows (statically known from
+                pe_basis's coord_lane, `lanes`) as exact-f32 VPU
+                broadcast FMAs — zero MXU passes (measured SLOWER than
+                'hilo' on v5e: sublane-broadcast cost; kept as the A/B
+                arm).
+    """
+    if mode == "highest":
+        phase = jnp.dot(pin, bm[0:8], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    elif mode == "hilo":
+        hi, lo = _hilo(pin)
+        bmb = bm[0:8].astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+        phase = jnp.dot(hi, bmb, **kw) + jnp.dot(lo, bmb, **kw)
+    else:
+        l0, l1, l2 = lanes
+        phase = (pin[:, l0:l0 + 1] * bm[l0:l0 + 1]
+                 + pin[:, l1:l1 + 1] * bm[l1:l1 + 1]
+                 + pin[:, l2:l2 + 1] * bm[l2:l2 + 1])
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
     return emb, phase
 
 
-def _encode_vjp(phase, bm, emb_hat):
+def _bm_pullback(g, bm, mode="highest", lanes=None):
+    """[T, dp] cotangent g -> packed-lane cotangent [T, 8]: g @ bm[0:8]^T.
+
+    Modes as _encode: 'hilo' splits g (bm rows are bf16-exact), 'vpu'
+    reduces the 3 nonzero rows on lanes."""
+    dims = (((1,), (1,)), ((), ()))
+    if mode == "highest":
+        return jax.lax.dot_general(g, bm[0:8], dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if mode == "hilo":
+        hi, lo = _hilo(g)
+        bmb = bm[0:8].astype(jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+        return (jax.lax.dot_general(hi, bmb, dims, **kw)
+                + jax.lax.dot_general(lo, bmb, dims, **kw))
+    cols = {j: jnp.sum(g * bm[j:j + 1], axis=1, keepdims=True)
+            for j in lanes}
+    z = jnp.zeros((g.shape[0], 1), jnp.float32)
+    return jnp.concatenate([cols.get(j, z) for j in range(8)], axis=1)
+
+
+def _encode_vjp(phase, bm, emb_hat, mode="highest", lanes=None):
     """Pullback of _encode to the packed input lanes: [T, 8]."""
     J = bm[8:9] + jnp.cos(phase) * bm[9:10] - jnp.sin(phase) * bm[10:11]
-    return jax.lax.dot_general(emb_hat * J, bm[0:8], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    return _bm_pullback(emb_hat * J, bm, mode, lanes)
+
+
+def _enc_mode(meta, bf16=True):
+    """(mode, emb_lanes, dirs_lanes) for _encode/_encode_vjp under the
+    meta's thin-dot strategy (pack_point_inputs: pts lanes 0..2,
+    dirs 4..6).
+
+    Interpret/oracle runs (bf16=False) and the full-f32 SDF-chain mode
+    always use exact-f32 'highest': 'hilo' trades 2^-17 phase error for
+    speed, a production-bf16-path-only deal."""
+    t = meta["thin"]
+    if not bf16 or meta["sdf_prec"] == "f32":
+        return "highest", None, None
+    if t in ("vpu", "enc"):
+        return "vpu", (0, 1, 2), (4, 5, 6)
+    if t == "hilo":
+        return "hilo", None, None
+    return "highest", None, None
+
+
+def _lin0_split(meta):
+    """Whether the f32 layer-0 dW dots use the 2-pass hi/lo split."""
+    return meta["thin"] in ("vpu", "split", "hilo")
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +549,22 @@ def _kdot_b(a, b, bf16):
                                           else jax.lax.Precision.HIGHEST))
 
 
+def _kdot_b_split(a, b):
+    """a.T @ b with the f32 operand a split into bf16 hi+lo (2 MXU
+    passes instead of HIGHEST's 6): keeps ~16 mantissa bits of a (the
+    PE embedding / tangent seed, whose bf16 rounding dominated the lin0
+    gradient error — grad audit r3) while the cotangent b rounds to
+    bf16 exactly like every other layer's dW dot (<0.4% there)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    dims = (((0,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jax.lax.dot_general(a_hi, bb, dims, **kw)
+            + jax.lax.dot_general(a_lo, bb, dims, **kw))
+
+
 def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
                  bm_e_ref, bm_c_ref, bm_r_ref, pin):
     """Shared in-kernel MLP pipeline forward on a [T, 8] packed input:
@@ -474,12 +574,13 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     inv_scale = 1.0 / meta["scale"]
     sbf = _sdf_bf(meta, bf16)
+    em, el, dl = _enc_mode(meta, bf16)
 
-    emb, phase_e = _encode(pin, bm_e_ref[:])           # [T, d0p]
+    emb, phase_e = _encode(pin, bm_e_ref[:], em, el)   # [T, d0p]
     if meta["has_dirs_c"]:
-        dirs_c, _ = _encode(pin, bm_c_ref[:])          # [T, 128]
+        dirs_c, _ = _encode(pin, bm_c_ref[:], em, dl)  # [T, 128]
     if meta["n_relight"] > 0:
-        dirs_r, _ = _encode(pin, bm_r_ref[:])          # [T, 128]
+        dirs_r, _ = _encode(pin, bm_r_ref[:], em, dl)  # [T, 128]
 
     # ---- SDF chain: value forward storing the softplus gates, then ONE
     # reverse sweep for the input-gradient. Reverse-mode costs one GEMM
@@ -519,7 +620,7 @@ def _mlp_forward(meta, T, bf16, w_refs, wt_refs, b_refs,
             p = p[:, :in_p - meta["d0p"]] * inv_sqrt2
     emb_g = emb_g + p
     # chain through the PE: d f0_raw / d pts (scale lives inside bm_e)
-    grad = _encode_vjp(phase_e, bm_e_ref[:], emb_g)[:, 0:3] * inv_scale
+    grad = _encode_vjp(phase_e, bm_e_ref[:], emb_g, em, el)[:, 0:3] * inv_scale
 
     sdf = y[:, 0:1] * inv_scale                        # [T, 1]
     feat = y[:, 1:1 + meta["feat_dim"]]                # [T, feat]
@@ -728,16 +829,17 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
     sstore = _sdf_store(meta, bf16)
     sbf = _sdf_bf(meta, bf16)
     L = meta.n_sdf
+    em, el, dl = _enc_mode(meta, bf16)
 
     bm_e = bm_e_ref[:]
-    emb, phase_e = _encode(pin, bm_e)
+    emb, phase_e = _encode(pin, bm_e, em, el)
     phase_c = None
     if meta.has_dirs_c:
-        dirs_c, phase_c = _encode(pin, bm_c_ref[:])
+        dirs_c, phase_c = _encode(pin, bm_c_ref[:], em, dl)
     phase_r = None
     if meta.n_relight > 0:
         bm_r = bm_r_ref[:]
-        dirs_r, phase_r = _encode(pin, bm_r)
+        dirs_r, phase_r = _encode(pin, bm_r, em, dl)
 
     # ---------- SDF value forward recompute, storing inputs + gates ----
     # Layer inputs stored in `store` dtype for the GEMM transposes;
@@ -776,7 +878,7 @@ def _mlp_recompute(meta, T, bf16, w_refs, wt_refs, b_refs,
             emb_g = emb_g + p[:, in_p - meta.d0p:] * inv_sqrt2
             p = p[:, :in_p - meta.d0p] * inv_sqrt2
     emb_g = emb_g + p
-    grad = _encode_vjp(phase_e, bm_e, emb_g)[:, 0:3] * inv_scale
+    grad = _encode_vjp(phase_e, bm_e, emb_g, em, el)[:, 0:3] * inv_scale
     pts = pin[:, 0:3]
     small = jnp.concatenate([pts, grad, jnp.zeros((T, 122), jnp.float32)], axis=1)
     featp = _rup(featd)
@@ -928,7 +1030,8 @@ def flatten_stash(meta, outs, stash):
     return SX, SCR, SG
 
 
-def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
+def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG,
+                    bf16=True):
     """(SX, SCR, SG) + pin -> (outs, stash), phases recomputed from pin.
 
     Inverse of flatten_stash up to the dropped phases and gates; the
@@ -951,14 +1054,15 @@ def unflatten_stash(meta, pin, bm_e_ref, bm_c_ref, bm_r_ref, SX, SCR, SG):
     outs = (SG[:, 0:1], SG[:, 1:4], SG[:, 4:7], SG[:, 7:10], SG[:, 10:13])
     grad_sg = SG[:, 1:4]
     gc_sg = SG[:, 4:7]
+    em, el, dl = _enc_mode(meta, bf16)
 
-    emb, phase_e = _encode(pin, bm_e_ref[:])
+    emb, phase_e = _encode(pin, bm_e_ref[:], em, el)
     dirs_c = phase_c = None
     if meta.has_dirs_c:
-        dirs_c, phase_c = _encode(pin, bm_c_ref[:])
+        dirs_c, phase_c = _encode(pin, bm_c_ref[:], em, dl)
     dirs_r = phase_r = None
     if meta.n_relight > 0:
-        dirs_r, phase_r = _encode(pin, bm_r_ref[:])
+        dirs_r, phase_r = _encode(pin, bm_r_ref[:], em, dl)
     small = jnp.concatenate(
         [pin[:, 0:3], grad_sg, jnp.zeros((T, 122), jnp.float32)], axis=1)
 
@@ -1030,6 +1134,7 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     sstore = _sdf_store(meta, bf16)
     sbf = _sdf_bf(meta, bf16)
     L = meta.n_sdf
+    em, el, dl = _enc_mode(meta, bf16)
     sdf_out_p = meta.layers[L - 1][2]
     bm_e = bm_e_ref[:]
     if meta.has_dirs_c:
@@ -1125,9 +1230,21 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
     # The last layer's tangent cotangent is inv_scale*e0, so its GEMMs
     # degenerate: u_{L-1} only enters via a column-0 rank-1 update and
     # u_bar_{L-1} is just a broadcast weight column.
-    phase_t = jnp.dot(grad_hat, bm_e[0:3],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)     # [T, d0p]
+    if em == "highest":
+        phase_t = jnp.dot(grad_hat, bm_e[0:3],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # [T, d0p]
+    elif em == "hilo":
+        ghi, glo = _hilo(grad_hat)
+        bmb = bm_e[0:3].astype(jnp.bfloat16)
+        _kw = dict(preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+        phase_t = jnp.dot(ghi, bmb, **_kw) + jnp.dot(glo, bmb, **_kw)
+    else:
+        # K=3 contraction as 3 exact-f32 VPU FMAs (see _encode)
+        phase_t = (grad_hat[:, 0:1] * bm_e[0:1]
+                   + grad_hat[:, 1:2] * bm_e[1:2]
+                   + grad_hat[:, 2:3] * bm_e[2:3])
     J_e = (bm_e[8:9] + jnp.cos(phase_e) * bm_e[9:10]
            - jnp.sin(phase_e) * bm_e[10:11])
     v0 = phase_t * J_e                                  # d emb . grad_hat
@@ -1176,15 +1293,21 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
         z = Zs[l].astype(jnp.float32)
         abar = g * hbar + (ubar * z) * (100.0 * g * (1.0 - g))
         zbar = g * ubar
-        # layer 0's weight grad runs in f32 on f32 inputs: its input
-        # rows are the PE embedding (rebuilt in-kernel, kept f32), whose
-        # bf16 rounding was the dominant term of the sdf/lin0 gradient
-        # error (grad audit: 9.46% norm-rel-err). One [d0p, 256] f32
-        # dot per tile — negligible cost; every other layer stays bf16
-        # (or f32 under the march_bwd_precision='f32' knob).
-        bfl = sbf and l > 0
-        w_hat_refs[l][:] += _kdot_b(Xs[l], abar, bfl) \
-            + _kdot_b(Us[l], zbar, bfl)
+        # layer 0's weight grad keeps its input operand at f32-grade
+        # precision: its input rows are the PE embedding (rebuilt
+        # in-kernel, kept f32), whose bf16 rounding was the dominant
+        # term of the sdf/lin0 gradient error (grad audit r3: 9.46%
+        # norm-rel-err). Under thin='vpu' the f32 operand is hi+lo
+        # split (2 bf16 passes, _kdot_b_split); thin='mxu' keeps the
+        # 6-pass HIGHEST dot. Every other layer stays bf16 (or f32
+        # under the march_bwd_precision='f32' knob).
+        if l == 0 and sbf and _lin0_split(meta):
+            w_hat_refs[l][:] += _kdot_b_split(Xs[l], abar) \
+                + _kdot_b_split(Us[l], zbar)
+        else:
+            bfl = sbf and l > 0
+            w_hat_refs[l][:] += _kdot_b(Xs[l], abar, bfl) \
+                + _kdot_b(Us[l], zbar, bfl)
         b_hat_refs[l][:] += jnp.sum(abar, axis=0, keepdims=True)
         hbar = _kdot(abar, wt_refs[l][:], sbf)
         ubar = _kdot(zbar, wt_refs[l][:], sbf)
@@ -1199,19 +1322,16 @@ def _mlp_pullback(meta, T, bf16, w_refs, wt_refs, b_refs,
 
     # ---------- pullback through the in-kernel encoders ----------
     # to the packed input lanes: pts in 0..2, dirs in 4..6
-    pin_hat = _encode_vjp(phase_e, bm_e, emb_hat)
+    pin_hat = _encode_vjp(phase_e, bm_e, emb_hat, em, el)
     # encoder second-derivative: v0 = phase_t * J_e(phase_e); only the
     # J_e factor depends on pin (phase_t is linear in the constant
     # cotangent direction grad_hat)
     dJ = (-jnp.sin(phase_e) * bm_e[9:10] - jnp.cos(phase_e) * bm_e[10:11])
-    pin_hat = pin_hat + jax.lax.dot_general(
-        v0_hat * phase_t * dJ, bm_e[0:8], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    pin_hat = pin_hat + _bm_pullback(v0_hat * phase_t * dJ, bm_e, em, el)
     if meta.has_dirs_c:
-        pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat)
+        pin_hat = pin_hat + _encode_vjp(phase_c, bm_c, dirs_c_hat, em, dl)
     if meta.n_relight > 0:
-        pin_hat = pin_hat + _encode_vjp(phase_r, bm_r, dirs_r_hat)
+        pin_hat = pin_hat + _encode_vjp(phase_r, bm_r, dirs_r_hat, em, dl)
     # pts also used directly via `small`
     pin_hat = pin_hat + jnp.concatenate(
         [pts_hat, jnp.zeros((T, 5), jnp.float32)], axis=1)

@@ -111,10 +111,14 @@ def _seg_sum(seg, x):
     # Rt > 1: exact f32 without the MXU. An MXU dot at DEFAULT rounds
     # the PAYLOAD operand to bf16 (compositing partials and positional
     # data ride this), and 6-passing it at HIGHEST is fill/drain waste
-    # for a K=T contraction. Segments are CONTIGUOUS (seg[r,i] =
-    # (i//S==r)), so reshape + mid-axis reduce is the same sum, exact,
-    # fully vectorized on the VPU.
+    # for a K=T contraction. CONTIGUITY CONTRACT: the seg matrix must
+    # be _seg_matrix's seg[r,i] = (i//S==r) — contiguous equal-length
+    # segments — so reshape + mid-axis reduce is the same sum, exact,
+    # fully vectorized on the VPU. A padded/non-contiguous seg would
+    # silently mis-sum; the static assert guards the shape half of that
+    # contract (ADVICE r4).
     Rt, T = seg.shape
+    assert T % Rt == 0, f"_seg_sum needs contiguous segments: {T=} {Rt=}"
     S = T // Rt
     return jnp.sum(x.reshape(Rt, S, x.shape[1]), axis=1)
 
@@ -290,7 +294,7 @@ def _march_bwd_kernel(meta, T, S, bf16, sample_dist, load, refs):
         pin = jnp.concatenate([pts, zero1, rd, zero1], axis=1)
         outs, stash = unflatten_stash(meta, pin, bm_e_ref, bm_c_ref,
                                       bm_r_ref, sx_ref[:], scr_ref[:],
-                                      sg_ref[:])
+                                      sg_ref[:], bf16=bf16)
         _sdf, grad_v, _gc, _relit, _delta = outs
         sg = sg_ref[:]
         q = sg[:, 17:18]
@@ -541,14 +545,18 @@ def default_tile_rays(S: int) -> int:
     return max(1, 512 // S)
 
 
-# HBM the auto policy will let the saved-activation stash occupy. The
-# stash competes with params/optimizer/batch for the chip's HBM (v5e:
-# 16 GB); 10 GB covers every realistic training batch (512 rays x 128
-# samples ~ 1 GB) while refusing bench-scale extremes that OOM.
-# 13.5: the f32stash default's 13.0 GB stash at the 2048x512 bench
-# shape runs measurably FASTER than bf16-stash save mode on the 16 GB
-# v5e (reports/r4/ab_prec_f32stash.json) — don't let 'auto' kick it to
-# the ~20%-slower recompute backward
+# HBM the 'auto' policy will let the saved-activation stash occupy.
+# 13.5 GB admits the f32stash default's 13.0 GB stash at the 2048x512
+# bench shape, which runs measurably FASTER than both bf16-stash save
+# mode and the recompute backward on the 16 GB v5e
+# (reports/r4/ab_prec_f32stash.json). HEADROOM ASSUMPTION: the
+# remaining ~2.5 GB must hold params+optimizer (~35 MB), the ray/z
+# buffers, and the image tensors the sampler gathers from — fine for
+# every shipped dataset config (<=1600x1200x~50 views ~ 1.1 GB), but a
+# config that both trains near the bench's extreme ray batch AND holds
+# a much larger image stack should lower march_stash_budget_gb (or set
+# march_acts='recompute'). Realistic training batches (512 rays x 128
+# samples) stash ~1 GB and are nowhere near the budget.
 _STASH_BUDGET_GB = 13.5
 
 

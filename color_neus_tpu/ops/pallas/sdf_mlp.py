@@ -111,7 +111,8 @@ def _softplus100(x):
     return jax.nn.softplus(x * 100.0) / 100.0
 
 
-def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
+def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus",
+                prec: str | None = None):
     """The padded weight-norm-resolved SDF MLP on an embedded tile.
 
     Dot precision follows the weight dtype: bf16 weights run the
@@ -131,44 +132,57 @@ def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus"):
     sweeps (ROADMAP lever #1); relu lifts them toward the MXU roofline.
     Works on plain arrays too (ws[l][:] is the identity outside pallas
     — make_xla_sdf_rays_fn reuses this exact function for the paired
-    XLA path)."""
+    XLA path).
+
+    prec=None derives the dot precision from the weight dtype (bf16 ->
+    single-pass DEFAULT, f32 -> 6-pass HIGHEST). An explicit prec
+    ('f32' -> HIGHEST, 'f32x3' -> HIGH = 3-pass bf16 splits missing
+    only the lo*lo term ~2^-16 relative, 'bf16' -> DEFAULT) overrides —
+    the mesh-extraction precision ladder (extract_precision)."""
     h = emb
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    # explicit DEFAULT on the bf16 branch: ambient 'highest' scopes
+    # must not reach kernel dots (Mosaic rejects
+    # contract_precision<fp32> on bf16 operands)
+    prec_map = {"f32": jax.lax.Precision.HIGHEST,
+                "f32x3": jax.lax.Precision.HIGH,
+                "bf16": jax.lax.Precision.DEFAULT}
     for l in range(n_lin):
         kind, _real, _pad = meta["widths"][l]
         w = ws[l][:]
         if kind == "skip":
             # zero-pad h to the aligned skip width, then append emb
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-        # explicit DEFAULT on the bf16 branch: ambient 'highest'
-        # scopes must not reach kernel dots (Mosaic rejects
-        # contract_precision<fp32> on bf16 operands)
-        prec = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
+        if prec is None:
+            p = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        else:
+            p = prec_map[prec]
         h = (jnp.dot(h.astype(w.dtype), w,
                      preferred_element_type=jnp.float32,
-                     precision=prec) + bs[l][:])
+                     precision=p) + bs[l][:])
         if l < n_lin - 1:
             h = jnp.maximum(h, 0.0) if act == "relu" else _softplus100(h)
     return h
 
 
-def _sdf_mlp_kernel(meta, n_lin, pin_ref, bm_ref, *refs):
+def _sdf_mlp_kernel(meta, n_lin, prec, pin_ref, bm_ref, *refs):
     ws = refs[:n_lin]
     bs = refs[n_lin:2 * n_lin]
     out_ref = refs[2 * n_lin]
 
     # in-kernel positional encoding from the packed [T, 8] input (see
-    # point_pipeline.pe_basis): one tiny MXU dot + sin/cos on the VPU —
-    # no [N, d0p] embedding array ever touches HBM
+    # point_pipeline.pe_basis): pts live in lanes 0..2, so the K=8
+    # phase dot collapses to 3 exact-f32 VPU FMAs — no MXU pass, no
+    # bf16 rounding of positional data (at 512^3 a bf16-rounded phase's
+    # ~1e-2 SDF error exceeds a voxel)
+    pin = pin_ref[:]
     bm = bm_ref[:]
-    # HIGHEST: default f32 dots round operands to bf16 (see _sdf_layers)
-    # — at 512^3 the resulting ~1e-2 SDF error exceeds a voxel
-    phase = jnp.dot(pin_ref[:], bm[0:8], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+    phase = (pin[:, 0:1] * bm[0:1] + pin[:, 1:2] * bm[1:2]
+             + pin[:, 2:3] * bm[2:3])
     emb = (phase * bm[8:9] + jnp.sin(phase) * bm[9:10]
            + jnp.cos(phase) * bm[10:11])
-    h = _sdf_layers(meta, n_lin, ws, bs, emb)
+    h = _sdf_layers(meta, n_lin, ws, bs, emb, prec=prec)
     out_ref[:] = h[:, 0:8]                    # [T, 8], col 0 = raw sdf
 
 
@@ -207,7 +221,7 @@ def _sdf_rays_kernel(meta, n_lin, S, act, exact, rays_ref, z_ref, bm_ref,
 
 
 def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
-                      interpret: bool = False):
+                      interpret: bool = False, prec: str = "f32"):
     """Returns sdf_fn(pts [N, 3]) -> sdf [N] using the fused kernel.
 
     Call INSIDE a traced computation: `params` are traced values, packing
@@ -215,20 +229,30 @@ def make_fused_sdf_fn(params: dict, cfg: SDFConfig, tile: int = 1024,
     and is CSE'd across the 5 up-sample sweeps of a step. N is padded to
     a tile multiple. Off-TPU callers should pass interpret=True (tests)
     or use the plain-XLA path.
+
+    prec: the dot-precision ladder for this entry's main consumer (mesh
+    extraction, where SDF precision sets vertex accuracy):
+      'f32'   6-pass HIGHEST — bit-exact vs the f32 XLA oracle (the
+              eval_fused gate arm; default)
+      'f32x3' 3-pass HIGH — drops only the lo*lo product (~2^-16
+              relative; a 512^3 voxel is 5e-3), ~2x the dot rate
+      'bf16'  single pass, bf16 weights — preview quality (~1e-2 SDF
+              error, can exceed a voxel at 512^3)
+    The no-grad placement sweeps go through make_fused_sdf_rays_fn.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
 
     ws, bs, meta = pack_sdf_weights(params, cfg)
-    # f32 weights: this entry also serves mesh extraction, where SDF
-    # precision sets vertex accuracy. The no-grad sweeps go through
-    # make_fused_sdf_rays_fn, which uses bf16 dots.
+    if prec == "bf16" and not interpret:
+        ws = [w.astype(jnp.bfloat16) for w in ws]
     n_lin = meta["n_lin"]
     d0p = meta["d0p"]
     bm = pe_basis(cfg.multires, cfg.scale, 0, d0p)
 
-    kernel = partial(_sdf_mlp_kernel, meta, n_lin)
+    kernel = partial(_sdf_mlp_kernel, meta, n_lin,
+                     None if interpret else prec)
 
     def sdf_fn(pts: jnp.ndarray) -> jnp.ndarray:
         n = pts.shape[0]

@@ -151,3 +151,30 @@ def test_glb_export(tmp_path):
         assert "COLOR_0" in gltf["meshes"][0]["primitives"][0]["attributes"]
         assert gltf["accessors"][0]["count"] == 20
         assert gltf["accessors"][1]["count"] == 30
+
+
+def test_extract_geometry_overlap_matches_monolithic(key):
+    """The slab-overlapped extraction (marching in a worker thread while
+    the device evaluates the next slabs) must produce EXACTLY the
+    monolithic mesh: same welded vertex set, same triangles."""
+    from color_neus_tpu.models.configs import SDFConfig, RendererConfig
+    from color_neus_tpu.models import fields
+    cfg = RendererConfig(sdf=SDFConfig())
+    params = {"sdf": fields.init_sdf(key, cfg.sdf)}
+    v1, t1 = mesh_ops.extract_geometry(
+        params, cfg, [-0.4] * 3, [0.4] * 3, 48, 0.0, overlap=False)
+    v2, t2 = mesh_ops.extract_geometry(
+        params, cfg, [-0.4] * 3, [0.4] * 3, 48, 0.0, overlap=True)
+    assert len(v1) == len(v2) and len(t1) == len(t2)
+    # same vertex SET (orders differ); triangle sets equal after
+    # canonicalizing through the sorted vertex order
+    o1 = np.lexsort(v1.T)
+    o2 = np.lexsort(v2.T)
+    np.testing.assert_array_equal(v1[o1], v2[o2])
+    r1 = np.empty(len(v1), np.int64)
+    r1[o1] = np.arange(len(v1))
+    r2 = np.empty(len(v2), np.int64)
+    r2[o2] = np.arange(len(v2))
+    s1 = {tuple(sorted(t)) for t in r1[t1]}
+    s2 = {tuple(sorted(t)) for t in r2[t2]}
+    assert s1 == s2

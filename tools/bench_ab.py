@@ -9,10 +9,11 @@ same chip state, and reports per-arm medians plus the paired per-round
 ratio (the drift-immune statistic).
 
     AB_KEY=sweep_act AB_A=softplus AB_B=relu python tools/bench_ab.py
-    AB_KEY=bwd_prec  AB_A=bf16     AB_B=f32_stash python tools/bench_ab.py
+    AB_KEY=bwd_prec  AB_A=bf16     AB_B=f32stash python tools/bench_ab.py
 
 AB_KEY is a build_bench() keyword: sweep_act | bwd_prec | march_acts |
-march_tile | ray_chunk. AB_ROUNDS (default 8) alternation rounds.
+march_tile | ray_chunk | thin_dots. AB_ROUNDS (default 8) alternation
+rounds.
 Prints one JSON line.
 """
 

@@ -38,6 +38,13 @@ batches and reports
 This replaces the earlier update_weighted_err field, which reduced to
 the plain rel_err (it weighted by the leaf norm, not the Adam update).
 
+Self-calibration (VERDICT r4 #3): every fused-vs-oracle number is
+emitted NEXT TO the oracle's own cross-batch floor
+(xla_cross_batch_rel/cos: the f32 oracle against itself on an
+independent ray batch — pure batch-content variance), and the audit
+asserts per group that the fused systematic_err_ratio <= 2x that
+floor (`sys_le_2x_floor`, top-level `pass_2x_floor`).
+
 Reference semantics audited: NeuS.py:294-408 forward + the
 fields.py:105-115 double-backprop path.
 """
@@ -167,6 +174,12 @@ def main():
         nc = float(np.linalg.norm(c))
         cos_mb = float(np.dot(b, c) / ((nb * nc) + 1e-30)) \
             if nb > 0 and nc > 0 else 1.0
+        # the XLA-vs-XLA different-batch floor (VERDICT r4 #3): how far
+        # apart the ORACLE's own gradients on two independent ray
+        # batches are — the batch-content variance every claim of
+        # "the rest is noise" must be measured against
+        floor_rel = (2.0 * float(np.linalg.norm(b - c)) / (nb + nc + 1e-30)
+                     if nb + nc > 0 else 0.0)
         # kernel-error decomposition (docstring): e1/e2 = fused - oracle
         # on the two batches
         e1 = a - b
@@ -179,20 +192,39 @@ def main():
         sys_ratio = sys_err / (sys_grad + 1e-30)
         grp = name.split("/")[0]
         g = groups.setdefault(grp, {"max_rel_err": 0.0, "min_cos": 1.0,
-                                    "min_minibatch_cos": 1.0,
+                                    "min_xla_cross_batch_cos": 1.0,
+                                    "max_xla_cross_batch_rel": 0.0,
                                     "max_err_batch_cos": 0.0,
                                     "max_systematic_err_ratio": 0.0})
         g["max_rel_err"] = max(g["max_rel_err"], rel)
         g["min_cos"] = min(g["min_cos"], cos)
-        # the noise floor: same oracle, different ray batch
-        g["min_minibatch_cos"] = min(g["min_minibatch_cos"], cos_mb)
+        # the noise floor: same ORACLE, different ray batch. (r4's
+        # artifact called this min_minibatch_cos, which read as a
+        # fused-path defect — e.g. the sdf 0.245 outlier was two
+        # ORACLE gradients of lin0 being nearly orthogonal across
+        # batches, i.e. pure batch-content variance, no kernel
+        # involved.)
+        g["min_xla_cross_batch_cos"] = min(g["min_xla_cross_batch_cos"],
+                                           cos_mb)
+        g["max_xla_cross_batch_rel"] = max(g["max_xla_cross_batch_rel"],
+                                           floor_rel)
         g["max_err_batch_cos"] = max(g["max_err_batch_cos"], ecos)
         g["max_systematic_err_ratio"] = max(g["max_systematic_err_ratio"],
                                             sys_ratio)
         if rel > worst["rel"]:
             worst = {"leaf": name, "rel": rel, "err_batch_cos": ecos,
-                     "systematic_err_ratio": sys_ratio}
+                     "systematic_err_ratio": sys_ratio,
+                     "xla_cross_batch_rel_floor": floor_rel,
+                     "xla_cross_batch_cos_floor": cos_mb}
 
+    # self-calibration verdict (VERDICT r4 #3): the kernel's SYSTEMATIC
+    # error per group must sit at most 2x the oracle's own cross-batch
+    # variation — with that, "the rest is batch-content variance" is a
+    # measured statement, not an assertion.
+    for g in groups.values():
+        g["sys_le_2x_floor"] = bool(
+            g["max_systematic_err_ratio"]
+            <= 2.0 * max(g["max_xla_cross_batch_rel"], 1e-12))
     report = {
         "config": "color_neus 8x256/PE6 + 4x256 color + 4x256 relight",
         "samples_per_ray": rcfg.n_samples + rcfg.n_importance,
@@ -200,13 +232,26 @@ def main():
         "fused_variant": fused_variant,
         "march_bwd_precision": prec,
         "platform": jax.devices()[0].platform,
-        "groups": {k: {kk: round(vv, 6) for kk, vv in v.items()}
+        "floor_definition": ("xla_cross_batch_* = the f32 ORACLE vs "
+                             "itself on an independent ray batch (pure "
+                             "batch-content variance; no fused kernel "
+                             "involved). sys_le_2x_floor asserts "
+                             "max_systematic_err_ratio <= 2x "
+                             "max_xla_cross_batch_rel per group."),
+        "groups": {k: {kk: (round(vv, 6) if isinstance(vv, float) else vv)
+                       for kk, vv in v.items()}
                    for k, v in sorted(groups.items())},
         "worst_leaf": {"name": worst["leaf"],
                        "rel_err": round(worst["rel"], 6),
                        "err_batch_cos": round(worst.get("err_batch_cos", 0.0), 4),
                        "systematic_err_ratio":
-                           round(worst.get("systematic_err_ratio", 0.0), 6)},
+                           round(worst.get("systematic_err_ratio", 0.0), 6),
+                       "xla_cross_batch_rel_floor":
+                           round(worst.get("xla_cross_batch_rel_floor", 0.0), 6),
+                       "xla_cross_batch_cos_floor":
+                           round(worst.get("xla_cross_batch_cos_floor", 0.0), 4)},
+        "pass_2x_floor": bool(all(g["sys_le_2x_floor"]
+                                  for g in groups.values())),
     }
     print(json.dumps(report))
     if os.environ.get("WRITE_REPORT"):
