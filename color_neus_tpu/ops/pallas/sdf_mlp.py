@@ -136,31 +136,45 @@ def _sdf_layers(meta, n_lin, ws, bs, emb, act: str = "softplus",
 
     prec=None derives the dot precision from the weight dtype (bf16 ->
     single-pass DEFAULT, f32 -> 6-pass HIGHEST). An explicit prec
-    ('f32' -> HIGHEST, 'f32x3' -> HIGH = 3-pass bf16 splits missing
-    only the lo*lo term ~2^-16 relative, 'bf16' -> DEFAULT) overrides —
-    the mesh-extraction precision ladder (extract_precision)."""
+    ('f32' -> HIGHEST; 'f32x3' -> MANUAL 3-pass bf16 hi/lo splits
+    (hi*hi + hi*lo + lo*hi — Precision.HIGH itself is NotImplemented in
+    Mosaic), missing only the lo*lo term ~2^-16 relative; 'bf16' ->
+    DEFAULT) overrides — the mesh-extraction precision ladder
+    (extract_precision)."""
     h = emb
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    # explicit DEFAULT on the bf16 branch: ambient 'highest' scopes
-    # must not reach kernel dots (Mosaic rejects
-    # contract_precision<fp32> on bf16 operands)
-    prec_map = {"f32": jax.lax.Precision.HIGHEST,
-                "f32x3": jax.lax.Precision.HIGH,
-                "bf16": jax.lax.Precision.DEFAULT}
+    kw = dict(preferred_element_type=jnp.float32,
+              # explicit DEFAULT on the bf16 passes: ambient 'highest'
+              # scopes must not reach kernel dots (Mosaic rejects
+              # contract_precision<fp32> on bf16 operands)
+              precision=jax.lax.Precision.DEFAULT)
+
+    def _split(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     for l in range(n_lin):
         kind, _real, _pad = meta["widths"][l]
         w = ws[l][:]
         if kind == "skip":
             # zero-pad h to the aligned skip width, then append emb
             h = jnp.concatenate([h, emb], axis=1) * inv_sqrt2
-        if prec is None:
-            p = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+        if prec == "f32x3" and w.dtype == jnp.float32:
+            x_hi, x_lo = _split(h)
+            w_hi, w_lo = _split(w)
+            h = (jnp.dot(x_hi, w_hi, **kw) + jnp.dot(x_hi, w_lo, **kw)
+                 + jnp.dot(x_lo, w_hi, **kw)) + bs[l][:]
         else:
-            p = prec_map[prec]
-        h = (jnp.dot(h.astype(w.dtype), w,
-                     preferred_element_type=jnp.float32,
-                     precision=p) + bs[l][:])
+            if prec is None:
+                p = (jax.lax.Precision.HIGHEST if w.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            elif prec == "bf16" or w.dtype != jnp.float32:
+                p = jax.lax.Precision.DEFAULT
+            else:
+                p = jax.lax.Precision.HIGHEST
+            h = (jnp.dot(h.astype(w.dtype), w,
+                         preferred_element_type=jnp.float32,
+                         precision=p) + bs[l][:])
         if l < n_lin - 1:
             h = jnp.maximum(h, 0.0) if act == "relu" else _softplus100(h)
     return h

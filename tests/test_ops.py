@@ -290,3 +290,43 @@ def test_se3_interpolate():
     np.testing.assert_allclose(Tm[:3, 3], [1, 0, 0], atol=1e-6)
     expect_R = np.asarray(T.aa_to_rotmat(jnp.asarray([0.0, 0.0, np.pi / 4])))
     np.testing.assert_allclose(Tm[:3, :3], expect_R, atol=1e-5)
+
+
+def test_pe_basis_is_bf16_exact():
+    """The hilo thin-dot mode rests on every pe_basis entry being
+    exactly bf16-representable (3*2^k / 1*2^k / 0 need <=2 mantissa
+    bits) — then only the DATA operand needs the hi/lo split and two
+    single-pass bf16 dots reproduce the f32 phase to ~2^-17."""
+    import jax.numpy as jnp
+    from color_neus_tpu.ops.pallas.point_pipeline import pe_basis
+
+    for multires, scale in ((6, 3.0), (4, 1.0), (10, 3.0)):
+        bm = np.asarray(pe_basis(multires, scale, 0, 128))
+        rt = np.asarray(jnp.asarray(bm).astype(jnp.bfloat16)
+                        .astype(jnp.float32))
+        np.testing.assert_array_equal(bm, rt)
+
+
+def test_encode_hilo_error_bound():
+    """hilo phase/pullback vs the exact-f32 reference: relative error
+    must sit at the hi/lo-split level (~2^-17), far below the bf16
+    dot noise (~2^-8) the r4 pins were added to kill."""
+    import jax
+    import jax.numpy as jnp
+    from color_neus_tpu.ops.pallas.point_pipeline import (
+        _encode, _bm_pullback, pe_basis)
+
+    bm = pe_basis(6, 3.0, 0, 128)
+    pin = jax.random.uniform(jax.random.PRNGKey(0), (256, 8),
+                             minval=-1.5, maxval=1.5)
+    _, p_hi = _encode(pin, bm, "highest")
+    _, p_lo = _encode(pin, bm, "hilo")
+    rel = float((jnp.abs(p_hi - p_lo)
+                 / (jnp.abs(p_hi) + 1e-9)).max())
+    assert rel < 3e-5, rel   # ~2^-17 class; bf16 would be ~4e-3
+
+    g = jax.random.normal(jax.random.PRNGKey(1), (256, 128))
+    o1 = _bm_pullback(g, bm, "highest")
+    o2 = _bm_pullback(g, bm, "hilo")
+    rel = float(jnp.abs(o1 - o2).max() / (jnp.abs(o1).max() + 1e-9))
+    assert rel < 3e-5, rel

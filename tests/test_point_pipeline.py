@@ -253,3 +253,4 @@ def test_fused_config_variants(key, variant):
         scale = max(float(jnp.abs(b).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=4e-3 * scale, rtol=0.05)
+
