@@ -62,6 +62,19 @@ def main():
     cfg_path = ("config/Color_NeuS_synthetic_blob.yml" if scene == "blob"
                 else "config/Color_NeuS_synthetic.yml")
     cfg = get_config(cfg_path, _A())
+    # viz/mesh validation cadence: the synthetic config's 250-step
+    # default makes the 5k/20k gate arms mesh-extraction-bound (~10x
+    # the train time). The gate's own metrics come from its FINAL
+    # render+mesh below; mid-run viz is progress logging only, so the
+    # long arms raise it (QG_VIZ_EVERY overrides; same value in every
+    # arm of a comparison so validation key draws stay identical).
+    viz_every = int(os.environ.get("QG_VIZ_EVERY", max(250, steps // 4)))
+    cfg = cfg.thaw_copy()
+    cfg["TRAIN"]["VIZ_IMAGE_INTERVAL"] = viz_every
+    cfg["TRAIN"]["VIZ_MESH_INTERVAL"] = viz_every
+    cfg["TRAIN"]["SAVE_INTERVAL"] = max(int(cfg["TRAIN"]["SAVE_INTERVAL"]),
+                                        steps)
+    cfg.freeze()
     fused = os.environ.get("QG_FUSED", "")  # '' = config default (auto)
     prec = os.environ.get("QG_PREC", "")    # march_bwd_precision A/B
     sweep_act = os.environ.get("QG_SWEEP_ACT", "")  # sweep_activation A/B
