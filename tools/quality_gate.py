@@ -69,7 +69,16 @@ def main():
     # long arms raise it (QG_VIZ_EVERY overrides; same value in every
     # arm of a comparison so validation key draws stay identical).
     viz_every = int(os.environ.get("QG_VIZ_EVERY", max(250, steps // 4)))
+    # QG_SEED: train under a different MANUAL_SEED. A same-config,
+    # different-seed arm gives the TRAJECTORY-NOISE floor for reading
+    # fused-vs-off PSNR gaps — at the ~50 dB saturation these arms reach
+    # by 5k steps, seed variance alone moves PSNR by >1 dB (same
+    # self-calibration philosophy as tools/grad_audit.py's cross-batch
+    # floor).
+    seed = int(os.environ.get("QG_SEED", 0))
     cfg = cfg.thaw_copy()
+    if seed:
+        cfg["TRAIN"]["MANUAL_SEED"] = seed
     cfg["TRAIN"]["VIZ_IMAGE_INTERVAL"] = viz_every
     cfg["TRAIN"]["VIZ_MESH_INTERVAL"] = viz_every
     cfg["TRAIN"]["SAVE_INTERVAL"] = max(int(cfg["TRAIN"]["SAVE_INTERVAL"]),
@@ -102,7 +111,7 @@ def main():
         # exited on purpose — the tool prints one verdict and exits
         jax.default_matmul_precision(matmul).__enter__()
     tag = "_".join(x for x in (fused or "auto", prec, sweep_act, sweep_dt,
-                               matmul) if x)
+                               matmul, f"s{seed}" if seed else "") if x)
     loop = TrainLoop(cfg, exp_id=f"quality_gate_{steps}_{tag}",
                      require_clean_git=False)
     loop.run()
@@ -159,6 +168,7 @@ def main():
     rr = loop.tcfg.renderer
     verdict = {
         "steps": steps, "resolution": res, "scene": scene,
+        "seed": seed or 1,
         "fused": fused or "auto",
         "march_bwd_precision": rr.march_bwd_precision,
         "thin_dots": rr.thin_dots,
