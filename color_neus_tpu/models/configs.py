@@ -146,6 +146,13 @@ class RendererConfig:
     #           relative — a 512^3 voxel is 5e-3), ~2x the dot rate
     #   bf16  - single-pass preview (~1e-2 SDF error)
     extract_precision: str = "f32"
+    # sparse (coarse-to-fine) mesh extraction: evaluate fine voxels only
+    # in blocks the coarse pass puts near the surface (Lipschitz bound
+    # from the eikonal property; ops/mesh.evaluate_sdf_grid_sparse).
+    # ~25x less grid-eval work at 512^3; vertices bitwise identical to
+    # the dense sweep. Off by default: the dense sweep remains the
+    # bit-exactness gate arm (tools/tpu_eval_fused_check.py)
+    extract_sparse: bool = False
     # dtype of the no-grad SDF sweep dots that PLACE importance samples
     # (hierarchical_z_vals): bfloat16 (fast, default) or float32
     sweep_dtype: str = "bfloat16"
@@ -225,6 +232,7 @@ def renderer_config_from_cfg(rcfg: dict) -> RendererConfig:
                                        "f32stash"),
         thin_dots=_lower_get(rcfg, "THIN_DOTS", "hilo"),
         extract_precision=_lower_get(rcfg, "EXTRACT_PRECISION", "f32"),
+        extract_sparse=bool(_lower_get(rcfg, "EXTRACT_SPARSE", False)),
         sweep_dtype=_lower_get(rcfg, "SWEEP_DTYPE", "bfloat16"),
         sweep_activation=_lower_get(rcfg, "SWEEP_ACTIVATION", "softplus"),
         compute_dtype=_lower_get(rcfg, "COMPUTE_DTYPE", "float32"),

@@ -124,7 +124,8 @@ def _slab_triangles(v0: np.ndarray, v1: np.ndarray, z0: int, res_xy, level: floa
     return ca.reshape(-1, 3), cb.reshape(-1, 3), a.reshape(-1), b.reshape(-1)
 
 
-def marching_cubes(u: np.ndarray, level: float = 0.0, backend: str = "auto"):
+def marching_cubes(u: np.ndarray, level: float = 0.0, backend: str = "auto",
+                   origin=(0, 0, 0)):
     """Extract the isosurface of u [RX, RY, RZ] at `level`.
 
     Returns (vertices [V, 3] in grid-index coordinates, triangles [T, 3]).
@@ -133,11 +134,17 @@ def marching_cubes(u: np.ndarray, level: float = 0.0, backend: str = "auto"):
 
     backend: 'auto' tries the native C++ extension (csrc/marching_tet.cpp,
     same algorithm) and falls back to numpy; 'numpy' forces the fallback.
+
+    origin: integer lattice offset of u's [0,0,0] corner, applied BEFORE
+    interpolation so a sub-block march is bitwise identical to the same
+    cubes of a full-grid march (adding the offset to finished float
+    vertices rounds differently; the block-welded extraction paths rely
+    on exactness to merge shared-face vertices).
     """
     u = np.asarray(u)
     if backend == "auto":
         from color_neus_tpu.utils.native import marching_tet_native
-        out = marching_tet_native(u, level)
+        out = marching_tet_native(u, level, origin)
         if out is not None:
             return out
     RX, RY, RZ = u.shape
@@ -175,10 +182,16 @@ def marching_cubes(u: np.ndarray, level: float = 0.0, backend: str = "auto"):
     first_pos = np.zeros(uniq.shape[0], np.int64)
     first_pos[inv_sorted[newly]] = order[newly]
 
-    pa = ca[first_pos].astype(np.float64)
-    pb = cb[first_pos].astype(np.float64)
-    fva = va[first_pos]
-    fvb = vb[first_pos]
+    org = np.asarray(origin, np.int64)[None, :]
+    # canonical edge orientation (lo -> hi): interpolation rounding must
+    # not depend on which tet reached the edge first (block-decomposed
+    # marches would disagree in the last ulp and fail to weld)
+    sw = swap[first_pos]
+    ra, rb = ca[first_pos], cb[first_pos]
+    pa = (np.where(sw[:, None], rb, ra) + org).astype(np.float64)
+    pb = (np.where(sw[:, None], ra, rb) + org).astype(np.float64)
+    fva = np.where(sw, vb[first_pos], va[first_pos])
+    fvb = np.where(sw, va[first_pos], vb[first_pos])
     denom = fvb - fva
     denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
     t = np.clip((level - fva) / denom, 0.0, 1.0)

@@ -108,9 +108,258 @@ def evaluate_sdf_grid(params, rcfg: RendererConfig, bound_min, bound_max,
     return out.reshape(resolution, resolution, resolution)
 
 
+def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
+                             bound_max, resolution: int,
+                             factor: int | None = None,
+                             safety: float = 2.0, sdf_chunk_fn=None,
+                             chunk_blocks: int = 512,
+                             return_active: bool = False,
+                             level: float = 0.0):
+    """Coarse-to-fine -sdf grid: only fine voxels near the surface are
+    evaluated (the idiomatic fix for the dense 512^3 sweep, VERDICT r4
+    #4 — a dense sweep spends >95% of its FLOPs on voxels marching
+    cubes never reads).
+
+    Soundness: an eikonal-trained SDF is ~1-Lipschitz in world units, so
+    a zero crossing inside a factor^3 block forces some block corner to
+    satisfy |sdf| <= diag/2 (the block center is the farthest interior
+    point from its nearest corner). A block is ACTIVE when its coarse
+    min-|sdf| <= safety * diag/2 (safety=2 covers learned-SDF Lipschitz
+    slack; the eikonal loss bounds |grad| near 1 inside the 1.2 sphere,
+    NeuS.py:277-279) or its corner signs disagree. Inactive blocks are
+    filled with their base-corner coarse value — sign-constant within
+    the block — so marching cubes emits nothing there and every crossing
+    cube's voxels carry EXACT fine values (vertices are bitwise
+    identical to the dense sweep's; tests/test_mesh_sparse.py).
+
+    Seam self-healing: on a field that VIOLATES the Lipschitz slack
+    (e.g. an early-training SDF, or one scaled by a constant), the
+    surface can cross a block seam the bound missed. After the fine
+    eval, any sign disagreement across a block face activates the
+    offending block(s), which are evaluated exactly; the pass iterates
+    to a fixed point. At convergence the filled region holds NO sign
+    change anywhere (fills are blockwise constant and every seam was
+    checked), so the result is exact for every surface component the
+    coarse pass or the crawl reaches — only a component strictly
+    interior to never-activated blocks (an undetected island) can be
+    missed, and that requires the coarse corners to under-report |sdf|
+    by > safety*diag/2.
+
+    Returns u [res,res,res] (optionally (u, active [nb,nb,nb] bool)).
+    Falls back to the dense sweep when factor doesn't divide res.
+    """
+    res = resolution
+    if factor is None:
+        # finer coarse pass on small grids (res 64 -> 17^3 coarse
+        # corners instead of 9^3: better island detection), 8 at scale
+        factor = 8 if res >= 128 else 4
+    if res % factor or res < 4 * factor:
+        u = evaluate_sdf_grid(params, rcfg, bound_min, bound_max, res,
+                              sdf_chunk_fn=sdf_chunk_fn)
+        if return_active:
+            nb = max(res // factor, 1)
+            return u, np.ones((nb, nb, nb), bool)
+        return u
+
+    bmin = np.asarray(bound_min, np.float32)
+    bmax = np.asarray(bound_max, np.float32)
+    h = (bmax - bmin) / (res - 1.0)
+    nb = res // factor
+    f = factor
+    if sdf_chunk_fn is None:
+        sdf_chunk_fn = _default_sdf_chunk_fn(params, rcfg)
+
+    # coarse corners at fine-grid stride f (the top corner lands one
+    # voxel beyond bmax — the SDF is defined there, distances still hold)
+    ax = [np.arange(nb + 1, dtype=np.float32) * (h[i] * f) + bmin[i]
+          for i in range(3)]
+    cg = np.stack(np.meshgrid(*ax, indexing="ij"), -1).reshape(-1, 3)
+    n_c = cg.shape[0]
+    CH = 1 << 17
+    pad = (-n_c) % CH
+    cgp = np.concatenate([cg, np.zeros((pad, 3), np.float32)], axis=0)
+    fn1 = jax.jit(sdf_chunk_fn)
+    cvals = np.concatenate(
+        [np.asarray(fn1(jnp.asarray(cgp[i:i + CH])))
+         for i in range(0, len(cgp), CH)])[:n_c]
+    c = cvals.reshape(nb + 1, nb + 1, nb + 1)
+
+    cs = [c[dx:dx + nb, dy:dy + nb, dz:dz + nb]
+          for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    min_abs = np.minimum.reduce([np.abs(x - level) for x in cs])
+    sign_change = ((np.minimum.reduce(cs) < level)
+                   & (np.maximum.reduce(cs) > level))
+    diag = float(np.linalg.norm(h * f))
+    active = (min_abs <= safety * diag / 2.0) | sign_change
+
+    # base-corner fill (sign-constant within every inactive block)
+    u = np.repeat(np.repeat(np.repeat(c[:nb, :nb, :nb], f, 0), f, 1), f, 2)
+    u = np.ascontiguousarray(u, np.float32)
+
+    CB = chunk_blocks
+    offs = np.stack(np.meshgrid(np.arange(f), np.arange(f), np.arange(f),
+                                indexing="ij"), -1).reshape(-1, 3)
+    joffs = jnp.asarray(offs, jnp.int32)
+    jaxes = [jnp.asarray(np.linspace(bmin[i], bmax[i], res,
+                                     dtype=np.float32))
+             for i in range(3)]
+
+    @jax.jit
+    def eval_blocks(bid):          # [CB] block ids -> [CB, f^3] -sdf
+        bx = bid // (nb * nb)
+        by = (bid // nb) % nb
+        bz = bid % nb
+        base = jnp.stack([bx, by, bz], -1).astype(jnp.int32) * f
+        idx = base[:, None, :] + joffs[None]
+        p = jnp.stack([jaxes[0][idx[..., 0]], jaxes[1][idx[..., 1]],
+                       jaxes[2][idx[..., 2]]], -1)
+        return sdf_chunk_fn(p.reshape(-1, 3)).reshape(CB, f ** 3)
+
+    uv = u.reshape(nb, f, nb, f, nb, f)
+
+    def _eval_ids(ids):
+        if not len(ids):
+            return
+        ids_pad = np.concatenate(
+            [ids, np.zeros(((-len(ids)) % CB,), np.int32)])
+        pend = [(ids_pad[i:i + CB],
+                 eval_blocks(jnp.asarray(ids_pad[i:i + CB])))
+                for i in range(0, len(ids_pad), CB)]
+        done = 0
+        for bid_arr, dv in pend:
+            dvn = np.asarray(dv)
+            for j in range(min(CB, len(ids) - done)):
+                b = int(bid_arr[j])
+                uv[b // (nb * nb), :, (b // nb) % nb, :, b % nb, :] = \
+                    dvn[j].reshape(f, f, f)
+            done += CB
+
+    _eval_ids(np.flatnonzero(active.ravel()).astype(np.int32))
+
+    # seam self-healing (see docstring): activate any inactive block
+    # whose face disagrees in sign with its neighbor, evaluate exactly,
+    # iterate to a fixed point
+    u3 = u.reshape(res, res, res)
+
+    def _collapse(d):
+        # [nb-1, res, res] seam-plane flags -> [nb-1, nb, nb] block flags
+        return d.reshape(nb - 1, nb, f, nb, f).any(axis=(2, 4))
+
+    while True:
+        new = np.zeros_like(active)
+        s = u3 > level
+        for axis in range(3):
+            sw = np.moveaxis(s, axis, 0)
+            lo = sw[f - 1::f][:nb - 1]      # planes k*f-1, k=1..nb-1
+            hi = sw[f::f]                   # planes k*f
+            # any cross-seam voxel PAIR within a cube can be a marching
+            # tet edge — check all 9 in-plane offsets, not just the
+            # face-adjacent one, and flag the blocks of BOTH endpoints
+            diff_lo = np.zeros_like(lo)
+            diff_hi = np.zeros_like(lo)
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    hs = np.roll(hi, (dy, dz), axis=(1, 2))
+                    d = lo != hs
+                    if dy == 1:
+                        d[:, 0, :] = False
+                    elif dy == -1:
+                        d[:, -1, :] = False
+                    if dz == 1:
+                        d[:, :, 0] = False
+                    elif dz == -1:
+                        d[:, :, -1] = False
+                    diff_lo |= d
+                    # the same flags at the hi-plane voxel's position
+                    dh = np.roll(d, (-dy, -dz), axis=(1, 2))
+                    if dy == -1:
+                        dh[:, 0, :] = False
+                    elif dy == 1:
+                        dh[:, -1, :] = False
+                    if dz == -1:
+                        dh[:, :, 0] = False
+                    elif dz == 1:
+                        dh[:, :, -1] = False
+                    diff_hi |= dh
+            if not diff_lo.any() and not diff_hi.any():
+                continue
+            dbl = _collapse(diff_lo)
+            dbh = _collapse(diff_hi)
+            aw = np.moveaxis(active, axis, 0)
+            nw = np.moveaxis(new, axis, 0)
+            nw[:nb - 1] |= dbl & ~aw[:nb - 1]
+            nw[1:] |= dbh & ~aw[1:]
+        if not new.any():
+            break
+        active |= new
+        _eval_ids(np.flatnonzero(new.ravel()).astype(np.int32))
+    if return_active:
+        return u, active
+    return u
+
+
+def _weld_block_meshes(results, res: int, bound_min, bound_max):
+    """Concatenate per-block/slab meshes and merge bitwise-equal boundary
+    vertices (shared planes are interpolated from the same grid values)."""
+    if not results:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+    verts = np.concatenate([v for v, _t in results], axis=0)
+    off = 0
+    tris = []
+    for v, t in results:
+        tris.append(t + off)
+        off += len(v)
+    tris = np.concatenate(tris, axis=0)
+    vv = np.ascontiguousarray(verts)
+    view = vv.view([("x", vv.dtype), ("y", vv.dtype), ("z", vv.dtype)])[:, 0]
+    _uniq, first, inv = np.unique(view, return_index=True,
+                                  return_inverse=True)
+    verts = vv[first]
+    tris = inv[tris]
+    bmin = np.asarray(bound_min, np.float64)
+    bmax = np.asarray(bound_max, np.float64)
+    verts = verts / (res - 1.0) * (bmax - bmin)[None, :] + bmin[None, :]
+    return verts.astype(np.float32), tris
+
+
+def extract_geometry_sparse(params, rcfg: RendererConfig, bound_min,
+                            bound_max, resolution: int,
+                            threshold: float = 0.0,
+                            factor: int | None = None,
+                            sdf_chunk_fn=None):
+    """Sparse isosurface: coarse-to-fine grid (evaluate_sdf_grid_sparse)
+    + marching restricted to ACTIVE blocks. Every crossing cube lies
+    inside an active block (the Lipschitz bound keeps the surface
+    > diag/2 away from every inactive block), and each cube's base voxel
+    belongs to exactly one block, so per-block marching over voxel slabs
+    [base, base+f] inclusive covers every cube once; shared-face
+    vertices weld bitwise (same grid values).
+    """
+    from color_neus_tpu.ops.marching_cubes import marching_cubes
+
+    res = resolution
+    u, active = evaluate_sdf_grid_sparse(
+        params, rcfg, bound_min, bound_max, res, factor=factor,
+        sdf_chunk_fn=sdf_chunk_fn, return_active=True, level=threshold)
+    nb = active.shape[0]
+    f = res // nb
+    u3 = u.reshape(res, res, res)
+    results = []
+    for b in np.flatnonzero(active.ravel()):
+        bx, by, bz = b // (nb * nb), (b // nb) % nb, b % nb
+        x0, y0, z0 = bx * f, by * f, bz * f
+        v, t = marching_cubes(
+            u3[x0:x0 + f + 1, y0:y0 + f + 1, z0:z0 + f + 1], threshold,
+            origin=(x0, y0, z0))
+        if len(v):
+            results.append((v, t))
+    return _weld_block_meshes(results, res, bound_min, bound_max)
+
+
 def extract_geometry(params, rcfg: RendererConfig, bound_min, bound_max,
                      resolution: int, threshold: float = 0.0,
-                     sdf_chunk_fn=None, overlap: bool = True):
+                     sdf_chunk_fn=None, overlap: bool = True,
+                     sparse: bool | None = None):
     """Dense grid + isosurface at `threshold` (NeuS.py:410-417 contract).
 
     overlap=True (default) runs the host marching-tetrahedra pass on
@@ -121,7 +370,18 @@ def extract_geometry(params, rcfg: RendererConfig, bound_min, bound_max,
     same grid values, so they are bitwise identical and np.unique merges
     them; every cube belongs to exactly one slab (cubes [x0, x1) of a
     slab owning planes [x0, x1]).
+
+    sparse=True (or rcfg.extract_sparse when sparse is None) switches to
+    the coarse-to-fine path (extract_geometry_sparse): ~25x less device
+    work at 512^3, vertices bitwise identical to the dense sweep under
+    the Lipschitz activation bound.
     """
+    if sparse is None:
+        sparse = bool(getattr(rcfg, "extract_sparse", False))
+    if sparse:
+        return extract_geometry_sparse(params, rcfg, bound_min, bound_max,
+                                       resolution, threshold,
+                                       sdf_chunk_fn=sdf_chunk_fn)
     if not overlap:
         u = evaluate_sdf_grid(params, rcfg, bound_min, bound_max, resolution,
                               sdf_chunk_fn=sdf_chunk_fn)
@@ -151,12 +411,12 @@ def extract_geometry(params, rcfg: RendererConfig, bound_min, bound_max,
             x0, x1 = item  # march cubes between planes [x0, x1] inclusive
             try:
                 v, t = marching_cubes(
-                    u.reshape(res, res, res)[x0:x1 + 1], threshold)
+                    u.reshape(res, res, res)[x0:x1 + 1], threshold,
+                    origin=(x0, 0, 0))
             except BaseException as e:  # re-raised on the main thread
                 worker_err.append(e)
                 continue
             if len(v):
-                v[:, 0] += x0
                 results.append((v, t))
 
     th = threading.Thread(target=_worker, daemon=True)
@@ -181,26 +441,7 @@ def extract_geometry(params, rcfg: RendererConfig, bound_min, bound_max,
     if worker_err:
         raise worker_err[0]
 
-    if not results:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
-    # weld slab meshes: boundary-plane vertices are bitwise-equal floats
-    verts = np.concatenate([v for v, _t in results], axis=0)
-    off = 0
-    tris = []
-    for v, t in results:
-        tris.append(t + off)
-        off += len(v)
-    tris = np.concatenate(tris, axis=0)
-    vv = np.ascontiguousarray(verts)
-    view = vv.view([("x", vv.dtype), ("y", vv.dtype), ("z", vv.dtype)])[:, 0]
-    _uniq, first, inv = np.unique(view, return_index=True,
-                                  return_inverse=True)
-    verts = vv[first]
-    tris = inv[tris]
-    bmin = np.asarray(bound_min, np.float64)
-    bmax = np.asarray(bound_max, np.float64)
-    verts = verts / (res - 1.0) * (bmax - bmin)[None, :] + bmin[None, :]
-    return verts.astype(np.float32), tris
+    return _weld_block_meshes(results, res, bound_min, bound_max)
 
 
 def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
@@ -246,11 +487,14 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     pts = np.concatenate([vertices.astype(np.float32),
                           np.zeros((pad, 3), np.float32)], axis=0)
 
-    @jax.jit
-    def all_chunks(p):
-        return jax.lax.map(chunk_fn, p.reshape(-1, chunk, 3))
-
-    out = np.asarray(all_chunks(jnp.asarray(pts))).reshape(-1, 3)
+    # one fixed-[chunk] jit + a host loop instead of a [G, chunk, 3]
+    # lax.map: the mapped version recompiled for every distinct vertex
+    # count G (each resolution paid ~12 s of compile at 512^3); the
+    # per-chunk dispatches are issued async and overlap
+    one = jax.jit(chunk_fn)
+    outs = [one(jnp.asarray(pts[i:i + chunk]))
+            for i in range(0, len(pts), chunk)]
+    out = np.concatenate([np.asarray(o) for o in outs]).reshape(-1, 3)
     return out[:n]
 
 

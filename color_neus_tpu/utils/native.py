@@ -62,9 +62,11 @@ def load_library(name: str, sources: list[str]):
 # Marching tetrahedra
 # ---------------------------------------------------------------------------
 
-def marching_tet_native(u: np.ndarray, level: float = 0.0):
+def marching_tet_native(u: np.ndarray, level: float = 0.0,
+                        origin=(0, 0, 0)):
     """Native isosurface extraction; returns (verts, tris) or None if the
-    native library is unavailable."""
+    native library is unavailable. `origin` offsets the lattice BEFORE
+    interpolation (exact sub-block marching — see mt_extract)."""
     lib = load_library("marchingtet", ["marching_tet.cpp"])
     if lib is None:
         return None
@@ -73,6 +75,7 @@ def marching_tet_native(u: np.ndarray, level: float = 0.0):
     fn.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
@@ -85,6 +88,7 @@ def marching_tet_native(u: np.ndarray, level: float = 0.0):
     nt = ctypes.c_int64()
     rc = fn(u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             u.shape[0], u.shape[1], u.shape[2], ctypes.c_float(level),
+            int(origin[0]), int(origin[1]), int(origin[2]),
             ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp), ctypes.byref(nt))
     if rc != 0:
         return None

@@ -70,9 +70,14 @@ extern "C" {
 
 // Extract isosurface of u[rx][ry][rz] (C-order) at `level`; "inside" is
 // u > level. Returns 0 on success. Caller frees *out_verts / *out_tris
-// with mt_free. Vertices are in grid-index coordinates.
+// with mt_free. Vertices are in grid-index coordinates OFFSET by
+// (ox, oy, oz): interpolation runs at absolute lattice coordinates, so
+// a sub-block march is bitwise identical to the same cubes of a
+// full-grid march (float addition of the offset AFTER interpolation is
+// not associative; block-welded extraction needs exactness).
 int mt_extract(const float* u, int64_t rx, int64_t ry, int64_t rz,
-               float level, float** out_verts, int64_t* n_verts,
+               float level, int64_t ox, int64_t oy, int64_t oz,
+               float** out_verts, int64_t* n_verts,
                int64_t** out_tris, int64_t* n_tris) {
   auto flat = [&](int64_t x, int64_t y, int64_t z) -> uint64_t {
     return (uint64_t)((x * ry + y) * rz + z);
@@ -120,8 +125,16 @@ int mt_extract(const float* u, int64_t rx, int64_t ry, int64_t rz,
               int b = TETS[t][TET_EDGES[e][1]];
               uint64_t fa = flat(cx[a], cy[a], cz[a]);
               uint64_t fb = flat(cx[b], cy[b], cz[b]);
-              uint64_t lo = fa < fb ? fa : fb;
-              uint64_t hi = fa < fb ? fb : fa;
+              // canonical edge orientation (lo -> hi): t's rounding must
+              // not depend on which tet reached the edge first, or
+              // block-decomposed marches of the same grid disagree in
+              // the last ulp and fail to weld
+              if (fa > fb) {
+                int tswap = a; a = b; b = tswap;
+                uint64_t fswap = fa; fa = fb; fb = fswap;
+              }
+              uint64_t lo = fa;
+              uint64_t hi = fb;
               uint64_t key = (lo << 32) | hi;
               auto it = edge_map.find(key);
               int64_t vid;
@@ -136,9 +149,9 @@ int mt_extract(const float* u, int64_t rx, int64_t ry, int64_t rz,
                 if (tt < 0.f) tt = 0.f;
                 if (tt > 1.f) tt = 1.f;
                 vid = (int64_t)(verts.size() / 3);
-                verts.push_back((float)cx[a] + tt * ((float)cx[b] - (float)cx[a]));
-                verts.push_back((float)cy[a] + tt * ((float)cy[b] - (float)cy[a]));
-                verts.push_back((float)cz[a] + tt * ((float)cz[b] - (float)cz[a]));
+                verts.push_back((float)(cx[a] + ox) + tt * ((float)cx[b] - (float)cx[a]));
+                verts.push_back((float)(cy[a] + oy) + tt * ((float)cy[b] - (float)cy[a]));
+                verts.push_back((float)(cz[a] + oz) + tt * ((float)cz[b] - (float)cz[a]));
                 edge_map.emplace(key, vid);
               }
               idx[k] = vid;

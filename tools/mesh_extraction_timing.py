@@ -61,13 +61,26 @@ def main():
         v2, t2_ = M.extract_geometry(params, rcfg, bmin, bmax, r,
                                      overlap=True)
         t4 = time.perf_counter()
+        # round-5: sparse coarse-to-fine (grid + marching, active blocks
+        # only; vertices bitwise equal to the dense sweep's). Run twice:
+        # the first pays the res-specific jit of the coarse/fine
+        # evaluators, the second is the steady state
+        v3, t3_ = M.extract_geometry(params, rcfg, bmin, bmax, r,
+                                     sparse=True)
+        t5 = time.perf_counter()
+        v3, t3_ = M.extract_geometry(params, rcfg, bmin, bmax, r,
+                                     sparse=True)
+        t6 = time.perf_counter()
         rep[f"res{r}"] = {
             "grid_eval_s": round(t1 - t0, 2),
             "marching_s": round(t2 - t1, 2),
             "vertex_colors_s": round(t3 - t2, 2),
             "overlapped_grid_plus_marching_s": round(t4 - t3, 2),
+            "sparse_grid_plus_marching_s": round(t5 - t4, 2),
+            "sparse_steady_s": round(t6 - t5, 2),
             "n_verts": int(len(verts)),
             "n_verts_overlapped": int(len(v2)),
+            "n_verts_sparse": int(len(v3)),
         }
         assert np.isfinite(colors).all()
         if r == res:

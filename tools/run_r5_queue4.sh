@@ -26,4 +26,8 @@ run() { # name timeout env... -- cmd...
 
 run qg5k_off_seed2 3600 QG_STEPS=5000 QG_FUSED=off QG_SEED=2 QG_VIZ_EVERY=1250 -- python tools/quality_gate.py
 run qg5k_fused_seed2 3600 QG_STEPS=5000 QG_SEED=2 QG_VIZ_EVERY=1250 -- python tools/quality_gate.py
+# blob arms again under the measured-calibration gates (the first pair
+# trained fine but carried speculative thresholds)
+run qg_blob_fused 2400 QG_SCENE=blob QG_STEPS=1000 -- python tools/quality_gate.py
+run qg_blob_off 2400 QG_SCENE=blob QG_STEPS=1000 QG_FUSED=off -- python tools/quality_gate.py
 echo "=== $(date -u +%H:%M:%S) queue4 done"
