@@ -19,17 +19,68 @@ from color_neus_tpu.models.configs import RendererConfig
 from color_neus_tpu.ops.marching_cubes import extract_geometry_from_grid
 
 
-def _default_sdf_chunk_fn(params, rcfg: RendererConfig):
+def _sdf_points(params, rcfg: RendererConfig, pts):
+    """-sdf at pts with TRACED params (fused Pallas kernel on TPU, plain
+    fields otherwise). Called inside the module-level jitted workers
+    below — the platform/extract_precision branch resolves at trace
+    time (rcfg is a static argument)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
     if on_tpu:
         from color_neus_tpu.ops.pallas.sdf_mlp import make_fused_sdf_fn
-        base = make_fused_sdf_fn(params["sdf"], rcfg.sdf,
-                                 prec=rcfg.extract_precision)
-        return lambda p: -base(p)
-    return lambda p: -fields.sdf_value(params["sdf"], rcfg.sdf, p)[:, 0]
+        return -make_fused_sdf_fn(params["sdf"], rcfg.sdf,
+                                  prec=rcfg.extract_precision)(pts)
+    return -fields.sdf_value(params["sdf"], rcfg.sdf, pts)[:, 0]
+
+
+def _default_sdf_chunk_fn(params, rcfg: RendererConfig):
+    return lambda p: _sdf_points(params, rcfg, p)
+
+
+# Module-level jitted workers: `params` is an ARGUMENT, not a closure
+# constant. A per-call closure would retrace (and re-link the Pallas
+# kernels) on every extraction — ~5-15 s per validate_mesh call on the
+# tunneled chip, paid at every viz interval of a training run. With
+# params as a pytree argument the trace caches on (rcfg, shapes) and a
+# repeat extraction costs only the dispatches. `axes` are the host-side
+# np.linspace grids passed in as arrays so every caller (dense stream,
+# sparse coarse/fine, custom-chunk paths) interpolates the bitwise-same
+# lattice.
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("rcfg", "res", "K", "chunk"))
+def _eval_super_jit(params, axes, start, *, rcfg, res, K, chunk):
+    n = res ** 3
+    flat = start + jnp.arange(K * chunk)
+    flat = jnp.minimum(flat, n - 1)              # clamp the tail pad
+    px = axes[0][flat // (res * res)]
+    py = axes[1][(flat // res) % res]
+    pz = axes[2][flat % res]
+    p = jnp.stack([px, py, pz], axis=-1).reshape(K, chunk, 3)
+    return jax.lax.map(lambda q: _sdf_points(params, rcfg, q), p)
+
+
+@_partial(jax.jit, static_argnames=("rcfg",))
+def _eval_points_jit(params, pts, *, rcfg):
+    return _sdf_points(params, rcfg, pts)
+
+
+@_partial(jax.jit, static_argnames=("rcfg", "nb", "f", "CB"))
+def _eval_blocks_jit(params, axes, bid, *, rcfg, nb, f, CB):
+    offs = np.stack(np.meshgrid(np.arange(f), np.arange(f), np.arange(f),
+                                indexing="ij"), -1).reshape(-1, 3)
+    bx = bid // (nb * nb)
+    by = (bid // nb) % nb
+    bz = bid % nb
+    base = jnp.stack([bx, by, bz], -1).astype(jnp.int32) * f
+    idx = base[:, None, :] + jnp.asarray(offs, jnp.int32)[None]
+    p = jnp.stack([axes[0][idx[..., 0]], axes[1][idx[..., 1]],
+                   axes[2][idx[..., 2]]], -1)
+    return _sdf_points(params, rcfg, p.reshape(-1, 3)).reshape(CB, f ** 3)
 
 
 def _grid_eval_stream(params, rcfg: RendererConfig, bound_min, bound_max,
@@ -58,11 +109,9 @@ def _grid_eval_stream(params, rcfg: RendererConfig, bound_min, bound_max,
     bmin = np.asarray(bound_min, np.float32)
     bmax = np.asarray(bound_max, np.float32)
     res = resolution
-    axes = [jnp.asarray(np.linspace(bmin[i], bmax[i], res, dtype=np.float32))
-            for i in range(3)]
-
-    if sdf_chunk_fn is None:
-        sdf_chunk_fn = _default_sdf_chunk_fn(params, rcfg)
+    axes = tuple(jnp.asarray(np.linspace(bmin[i], bmax[i], res,
+                                         dtype=np.float32))
+                 for i in range(3))
 
     n = res ** 3
     # don't over-dispatch small grids: the clamped tail would evaluate
@@ -72,15 +121,21 @@ def _grid_eval_stream(params, rcfg: RendererConfig, bound_min, bound_max,
     stride = K * chunk
     n_pad = (n + stride - 1) // stride * stride
 
-    @jax.jit
-    def eval_super(start):
-        flat = start + jnp.arange(stride)
-        flat = jnp.minimum(flat, n - 1)          # clamp the tail pad
-        px = axes[0][flat // (res * res)]
-        py = axes[1][(flat // res) % res]
-        pz = axes[2][flat % res]
-        p = jnp.stack([px, py, pz], axis=-1).reshape(K, chunk, 3)
-        return jax.lax.map(sdf_chunk_fn, p)
+    if sdf_chunk_fn is None:
+        # cached module-level worker (no per-call retrace)
+        def eval_super(start):
+            return _eval_super_jit(params, axes, start, rcfg=rcfg, res=res,
+                                   K=K, chunk=chunk)
+    else:
+        @jax.jit
+        def eval_super(start):
+            flat = start + jnp.arange(stride)
+            flat = jnp.minimum(flat, n - 1)      # clamp the tail pad
+            px = axes[0][flat // (res * res)]
+            py = axes[1][(flat // res) % res]
+            pz = axes[2][flat % res]
+            p = jnp.stack([px, py, pz], axis=-1).reshape(K, chunk, 3)
+            return jax.lax.map(sdf_chunk_fn, p)
 
     pending = deque()
     for i in range(0, n_pad, stride):
@@ -166,7 +221,8 @@ def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
     h = (bmax - bmin) / (res - 1.0)
     nb = res // factor
     f = factor
-    if sdf_chunk_fn is None:
+    custom = sdf_chunk_fn is not None
+    if not custom:
         sdf_chunk_fn = _default_sdf_chunk_fn(params, rcfg)
 
     # coarse corners at fine-grid stride f (the top corner lands one
@@ -178,7 +234,8 @@ def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
     CH = 1 << 17
     pad = (-n_c) % CH
     cgp = np.concatenate([cg, np.zeros((pad, 3), np.float32)], axis=0)
-    fn1 = jax.jit(sdf_chunk_fn)
+    fn1 = (jax.jit(sdf_chunk_fn) if custom
+           else (lambda p: _eval_points_jit(params, p, rcfg=rcfg)))
     cvals = np.concatenate(
         [np.asarray(fn1(jnp.asarray(cgp[i:i + CH])))
          for i in range(0, len(cgp), CH)])[:n_c]
@@ -197,23 +254,30 @@ def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
     u = np.ascontiguousarray(u, np.float32)
 
     CB = chunk_blocks
-    offs = np.stack(np.meshgrid(np.arange(f), np.arange(f), np.arange(f),
-                                indexing="ij"), -1).reshape(-1, 3)
-    joffs = jnp.asarray(offs, jnp.int32)
-    jaxes = [jnp.asarray(np.linspace(bmin[i], bmax[i], res,
-                                     dtype=np.float32))
-             for i in range(3)]
+    jaxes = tuple(jnp.asarray(np.linspace(bmin[i], bmax[i], res,
+                                          dtype=np.float32))
+                  for i in range(3))
 
-    @jax.jit
-    def eval_blocks(bid):          # [CB] block ids -> [CB, f^3] -sdf
-        bx = bid // (nb * nb)
-        by = (bid // nb) % nb
-        bz = bid % nb
-        base = jnp.stack([bx, by, bz], -1).astype(jnp.int32) * f
-        idx = base[:, None, :] + joffs[None]
-        p = jnp.stack([jaxes[0][idx[..., 0]], jaxes[1][idx[..., 1]],
-                       jaxes[2][idx[..., 2]]], -1)
-        return sdf_chunk_fn(p.reshape(-1, 3)).reshape(CB, f ** 3)
+    if custom:
+        joffs = jnp.asarray(
+            np.stack(np.meshgrid(np.arange(f), np.arange(f), np.arange(f),
+                                 indexing="ij"), -1).reshape(-1, 3),
+            jnp.int32)
+
+        @jax.jit
+        def eval_blocks(bid):      # [CB] block ids -> [CB, f^3] -sdf
+            bx = bid // (nb * nb)
+            by = (bid // nb) % nb
+            bz = bid % nb
+            base = jnp.stack([bx, by, bz], -1).astype(jnp.int32) * f
+            idx = base[:, None, :] + joffs[None]
+            p = jnp.stack([jaxes[0][idx[..., 0]], jaxes[1][idx[..., 1]],
+                           jaxes[2][idx[..., 2]]], -1)
+            return sdf_chunk_fn(p.reshape(-1, 3)).reshape(CB, f ** 3)
+    else:
+        def eval_blocks(bid):
+            return _eval_blocks_jit(params, jaxes, bid, rcfg=rcfg, nb=nb,
+                                    f=f, CB=CB)
 
     uv = u.reshape(nb, f, nb, f, nb, f)
 
@@ -455,6 +519,24 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     first fused pass supplies grad so dirs = -grad feed the second —
     still far cheaper than the per-op XLA chain.
     """
+    n = vertices.shape[0]
+    pad = (-n) % chunk
+    pts = np.concatenate([vertices.astype(np.float32),
+                          np.zeros((pad, 3), np.float32)], axis=0)
+
+    # fixed-[chunk] module-level jit + a host loop: no [G, chunk, 3]
+    # lax.map (which recompiled for every distinct vertex count G —
+    # ~12 s at 512^3) and no per-call closure retrace; the per-chunk
+    # dispatches are issued async and overlap
+    outs = [_vertex_colors_chunk_jit(params, jnp.asarray(pts[i:i + chunk]),
+                                     rcfg=rcfg)
+            for i in range(0, len(pts), chunk)]
+    out = np.concatenate([np.asarray(o) for o in outs]).reshape(-1, 3)
+    return out[:n]
+
+
+@_partial(jax.jit, static_argnames=("rcfg",))
+def _vertex_colors_chunk_jit(params, pts, *, rcfg: RendererConfig):
     from color_neus_tpu.models.neus import _use_fused_core
 
     if _use_fused_core(rcfg):
@@ -465,37 +547,17 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
         # runs the kernel in interpret mode instead of silently
         # compiling it (ADVICE r3)
         interp = rcfg.fused_core == "interpret"
-
-        def chunk_fn(pts):
-            dirs = jnp.zeros_like(pts)
-            if rcfg.color.mode != "no_view_dir":
-                _, grad, _, _, _ = fused_point_pipeline(
-                    dense, rcfg, pts, dirs, interpret=interp)
-                dirs = -grad
-            _, _, gc, _, _ = fused_point_pipeline(
+        dirs = jnp.zeros_like(pts)
+        if rcfg.color.mode != "no_view_dir":
+            _, grad, _, _, _ = fused_point_pipeline(
                 dense, rcfg, pts, dirs, interpret=interp)
-            return gc
-    else:
-        def chunk_fn(pts):
-            sdf, feat, grad = fields.sdf_with_grad(params["sdf"], rcfg.sdf,
-                                                   pts)
-            return fields.color_apply(params["color"], rcfg.color, pts,
-                                      grad, -grad, feat)
-
-    n = vertices.shape[0]
-    pad = (-n) % chunk
-    pts = np.concatenate([vertices.astype(np.float32),
-                          np.zeros((pad, 3), np.float32)], axis=0)
-
-    # one fixed-[chunk] jit + a host loop instead of a [G, chunk, 3]
-    # lax.map: the mapped version recompiled for every distinct vertex
-    # count G (each resolution paid ~12 s of compile at 512^3); the
-    # per-chunk dispatches are issued async and overlap
-    one = jax.jit(chunk_fn)
-    outs = [one(jnp.asarray(pts[i:i + chunk]))
-            for i in range(0, len(pts), chunk)]
-    out = np.concatenate([np.asarray(o) for o in outs]).reshape(-1, 3)
-    return out[:n]
+            dirs = -grad
+        _, _, gc, _, _ = fused_point_pipeline(
+            dense, rcfg, pts, dirs, interpret=interp)
+        return gc
+    _sdf, feat, grad = fields.sdf_with_grad(params["sdf"], rcfg.sdf, pts)
+    return fields.color_apply(params["color"], rcfg.color, pts,
+                              grad, -grad, feat)
 
 
 # ---------------------------------------------------------------------------
