@@ -69,8 +69,8 @@ def _eval_points_jit(params, pts, *, rcfg):
     return _sdf_points(params, rcfg, pts)
 
 
-@_partial(jax.jit, static_argnames=("rcfg", "nb", "f", "CB"))
-def _eval_blocks_jit(params, axes, bid, *, rcfg, nb, f, CB):
+@_partial(jax.jit, static_argnames=("rcfg", "nb", "f"))
+def _eval_blocks_jit(params, axes, bid, *, rcfg, nb, f):
     offs = np.stack(np.meshgrid(np.arange(f), np.arange(f), np.arange(f),
                                 indexing="ij"), -1).reshape(-1, 3)
     bx = bid // (nb * nb)
@@ -80,7 +80,8 @@ def _eval_blocks_jit(params, axes, bid, *, rcfg, nb, f, CB):
     idx = base[:, None, :] + jnp.asarray(offs, jnp.int32)[None]
     p = jnp.stack([axes[0][idx[..., 0]], axes[1][idx[..., 1]],
                    axes[2][idx[..., 2]]], -1)
-    return _sdf_points(params, rcfg, p.reshape(-1, 3)).reshape(CB, f ** 3)
+    return _sdf_points(params, rcfg, p.reshape(-1, 3)).reshape(
+        bid.shape[0], f ** 3)
 
 
 def _grid_eval_stream(params, rcfg: RendererConfig, bound_min, bound_max,
@@ -231,7 +232,11 @@ def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
           for i in range(3)]
     cg = np.stack(np.meshgrid(*ax, indexing="ij"), -1).reshape(-1, 3)
     n_c = cg.shape[0]
-    CH = 1 << 17
+    # pow2-bucketed chunk (min 4096): a fixed 1<<17 pad would waste up
+    # to ~126k SDF evals per call at small resolutions (code review r5)
+    CH = 1 << 12
+    while CH < min(n_c, 1 << 17):
+        CH <<= 1
     pad = (-n_c) % CH
     cgp = np.concatenate([cg, np.zeros((pad, 3), np.float32)], axis=0)
     fn1 = (jax.jit(sdf_chunk_fn) if custom
@@ -273,30 +278,40 @@ def evaluate_sdf_grid_sparse(params, rcfg: RendererConfig, bound_min,
             idx = base[:, None, :] + joffs[None]
             p = jnp.stack([jaxes[0][idx[..., 0]], jaxes[1][idx[..., 1]],
                            jaxes[2][idx[..., 2]]], -1)
-            return sdf_chunk_fn(p.reshape(-1, 3)).reshape(CB, f ** 3)
+            return sdf_chunk_fn(p.reshape(-1, 3)).reshape(
+                bid.shape[0], f ** 3)
     else:
         def eval_blocks(bid):
             return _eval_blocks_jit(params, jaxes, bid, rcfg=rcfg, nb=nb,
-                                    f=f, CB=CB)
+                                    f=f)
 
     uv = u.reshape(nb, f, nb, f, nb, f)
 
     def _eval_ids(ids):
-        if not len(ids):
-            return
-        ids_pad = np.concatenate(
-            [ids, np.zeros(((-len(ids)) % CB,), np.int32)])
-        pend = [(ids_pad[i:i + CB],
-                 eval_blocks(jnp.asarray(ids_pad[i:i + CB])))
-                for i in range(0, len(ids_pad), CB)]
-        done = 0
-        for bid_arr, dv in pend:
+        # full CB batches, then one pow2-bucketed tail (>= 64) padded
+        # with repeats of the last real id — a zero-padded full batch
+        # re-evaluated up to 511 spurious blocks per healing iteration
+        # (code review r5); bucket shapes keep the trace count <= log2
+        pend = []
+        i = 0
+        while i < len(ids):
+            take = min(CB, len(ids) - i)
+            bsz = 64
+            while bsz < take:
+                bsz <<= 1
+            chunk_ids = ids[i:i + take]
+            if bsz != take:
+                chunk_ids = np.concatenate(
+                    [chunk_ids, np.repeat(chunk_ids[-1:], bsz - take)])
+            pend.append((chunk_ids, take,
+                         eval_blocks(jnp.asarray(chunk_ids))))
+            i += take
+        for bid_arr, take, dv in pend:
             dvn = np.asarray(dv)
-            for j in range(min(CB, len(ids) - done)):
+            for j in range(take):
                 b = int(bid_arr[j])
                 uv[b // (nb * nb), :, (b // nb) % nb, :, b % nb, :] = \
                     dvn[j].reshape(f, f, f)
-            done += CB
 
     _eval_ids(np.flatnonzero(active.ravel()).astype(np.int32))
 
@@ -402,6 +417,16 @@ def extract_geometry_sparse(params, rcfg: RendererConfig, bound_min,
     from color_neus_tpu.ops.marching_cubes import marching_cubes
 
     res = resolution
+    if factor is None:
+        factor = 8 if res >= 128 else 4
+    if res % factor or res < 4 * factor:
+        # misaligned resolution: march the full dense grid (a truncated
+        # nb*f < res block walk would silently drop the trailing cubes
+        # at the +faces)
+        u = evaluate_sdf_grid(params, rcfg, bound_min, bound_max, res,
+                              sdf_chunk_fn=sdf_chunk_fn)
+        return extract_geometry_from_grid(u, bound_min, bound_max,
+                                          threshold)
     u, active = evaluate_sdf_grid_sparse(
         params, rcfg, bound_min, bound_max, res, factor=factor,
         sdf_chunk_fn=sdf_chunk_fn, return_active=True, level=threshold)
@@ -520,6 +545,8 @@ def extract_vertex_colors(params, rcfg: RendererConfig, vertices: np.ndarray,
     still far cheaper than the per-op XLA chain.
     """
     n = vertices.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
     pad = (-n) % chunk
     pts = np.concatenate([vertices.astype(np.float32),
                           np.zeros((pad, 3), np.float32)], axis=0)

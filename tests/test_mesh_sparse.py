@@ -77,10 +77,14 @@ def test_sparse_mesh_identical_to_dense():
 
 def test_sparse_falls_back_when_factor_misaligned():
     params, cfg = _net(jax.random.PRNGKey(1))
-    res = 30  # not divisible by 8
-    vd, td = mesh_ops.extract_geometry(params, cfg, [-0.4] * 3, [0.4] * 3,
+    res = 30  # not divisible by 4 or 8
+    # tight bbox: the sphere surface (r ~ 1/6) reaches the outermost
+    # cube layer — a truncated nb*f < res block walk would drop those
+    # cubes (code review r5); the fallback must march the full grid
+    bb = 0.17
+    vd, td = mesh_ops.extract_geometry(params, cfg, [-bb] * 3, [bb] * 3,
                                        res, sparse=False)
-    vs, ts = mesh_ops.extract_geometry(params, cfg, [-0.4] * 3, [0.4] * 3,
+    vs, ts = mesh_ops.extract_geometry(params, cfg, [-bb] * 3, [bb] * 3,
                                        res, sparse=True)
     # the fallback marches the whole grid in one call, which dedups by
     # edge key; the slab path welds by position (t-clamped vertices from
